@@ -1,0 +1,171 @@
+"""CLIP BPE tokenizer (host-side, pure python).
+
+The reference tokenizes through HF `CLIPTokenizer` downloaded from the hub
+(ldm/modules/encoders/modules.py:95). This environment has no network, so:
+
+  * `CLIPTokenizer` implements the byte-pair-encoding scheme of CLIP and
+    loads `vocab.json` + `merges.txt` from a local path when the user
+    provides the assets (same files HF ships).
+  * `HashTokenizer` is a deterministic fallback for tests/benchmarks when
+    no vocab assets exist: it maps words to stable ids in the vocab range.
+    It is NOT linguistically meaningful and is clearly labeled as such.
+
+Both produce fixed-length (77) id arrays with CLIP's 49406/49407
+start/end tokens and end-token padding, matching `tokenizer(..., padding=
+"max_length", max_length=77)` semantics used throughout the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import json
+import os
+import re
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+SOT = 49406
+EOT = 49407
+MAX_LEN = 77
+
+
+def _bytes_to_unicode():
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word):
+    pairs = set()
+    prev = word[0]
+    for ch in word[1:]:
+        pairs.add((prev, ch))
+        prev = ch
+    return pairs
+
+
+_WORD_RE = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    re.IGNORECASE,
+) if hasattr(re, "UNICODE") and False else re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+    re.IGNORECASE,
+)
+
+
+def _basic_clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return re.sub(r"\s+", " ", text).strip().lower()
+
+
+class CLIPTokenizer:
+    """BPE tokenizer compatible with openai/clip vocab assets."""
+
+    def __init__(self, vocab_path: str, merges_path: str):
+        with open(vocab_path) as f:
+            self.encoder = json.load(f)
+        opener = gzip.open if merges_path.endswith(".gz") else open
+        with opener(merges_path, "rt") as f:
+            merges = f.read().split("\n")
+        # skip header line(s)
+        merges = [m for m in merges if m and not m.startswith("#")]
+        if merges and merges[0].startswith("bpe_simple_vocab"):
+            merges = merges[1:]
+        self.bpe_ranks = {tuple(m.split()): i for i, m in enumerate(merges)}
+        self.byte_encoder = _bytes_to_unicode()
+        self.cache = {}
+
+    @functools.lru_cache(maxsize=32768)
+    def _bpe(self, token: str) -> str:
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        return " ".join(word)
+
+    def encode_text(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for token in _WORD_RE.findall(_basic_clean(text)):
+            token_b = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self._bpe(token_b).split(" "))
+        return ids
+
+    def __call__(self, texts: Sequence[str], max_length: int = MAX_LEN) -> np.ndarray:
+        out = np.full((len(texts), max_length), EOT, dtype=np.int32)
+        for i, t in enumerate(texts):
+            ids = [SOT] + self.encode_text(t)[: max_length - 2] + [EOT]
+            out[i, : len(ids)] = ids
+        return out
+
+
+class HashTokenizer:
+    """Deterministic placeholder tokenizer (no vocab assets required).
+
+    Words hash to stable ids in [1000, 49000). Only suitable for tests,
+    benchmarks, and training-from-scratch experiments — NOT compatible
+    with pretrained CLIP weights.
+    """
+
+    def encode_text(self, text: str) -> List[int]:
+        import hashlib
+
+        ids = []
+        for w in _basic_clean(text).split():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            ids.append(1000 + h % 48000)
+        return ids
+
+    def __call__(self, texts: Sequence[str], max_length: int = MAX_LEN) -> np.ndarray:
+        out = np.full((len(texts), max_length), EOT, dtype=np.int32)
+        for i, t in enumerate(texts):
+            ids = [SOT] + self.encode_text(t)[: max_length - 2] + [EOT]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def load_tokenizer(assets_dir: Optional[str] = None):
+    """CLIPTokenizer when vocab assets exist, else HashTokenizer."""
+    if assets_dir:
+        vocab = os.path.join(assets_dir, "vocab.json")
+        merges = os.path.join(assets_dir, "merges.txt")
+        if os.path.exists(vocab) and os.path.exists(merges):
+            return CLIPTokenizer(vocab, merges)
+    return HashTokenizer()

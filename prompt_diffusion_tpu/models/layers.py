@@ -1,0 +1,252 @@
+"""Shared Flax building blocks for the SD1.5 UNet / ControlNet / VAE.
+
+Faithful re-expressions of the reference blocks
+(ldm/modules/diffusionmodules/openaimodel.py, ldm/modules/attention.py)
+in TPU-native form: NHWC layout, bf16 compute with fp32 norms/softmax,
+`nn.remat` for gradient checkpointing instead of the custom autograd
+CheckpointFunction (ldm/modules/diffusionmodules/util.py:102-151).
+
+Parameter tree names deliberately mirror the torch module paths
+(`in_layers_0`, `emb_layers_1`, …) so checkpoint import is a mechanical
+key rewrite (see tools/torch_import.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from prompt_diffusion_tpu.ops.attention import dot_product_attention
+from prompt_diffusion_tpu.ops.norms import group_norm
+from prompt_diffusion_tpu.utils.dtypes import DTypePolicy
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal embedding, [cos | sin] order (util.py:154-174)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with fp32 statistics (GroupNorm32, util.py:217-219)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    apply_silu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(
+            x, self.num_groups, scale, bias, eps=self.eps, apply_silu=self.apply_silu
+        )
+
+
+def conv3x3(features: int, *, stride: int = 1, zero_init: bool = False, dtype=None, name=None):
+    init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features,
+        kernel_size=(3, 3),
+        strides=(stride, stride),
+        padding=1,
+        kernel_init=init,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def conv1x1(features: int, *, zero_init: bool = False, dtype=None, name=None):
+    init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features,
+        kernel_size=(1, 1),
+        kernel_init=init,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class TimeEmbedMLP(nn.Module):
+    """t-embedding MLP: Linear → SiLU → Linear (openaimodel.py:563-567)."""
+
+    embed_dim: int
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = nn.Dense(self.embed_dim, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="fc1")(t_emb)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.embed_dim, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="fc2")(h)
+
+
+class ResBlock(nn.Module):
+    """GN→SiLU→conv, +t-emb, GN→SiLU→zero-conv, residual
+    (openaimodel.py:163-275; PD config uses use_scale_shift_norm=False)."""
+
+    out_channels: int
+    policy: DTypePolicy
+    use_scale_shift_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, emb):
+        in_ch = x.shape[-1]
+        h = GroupNorm32(apply_silu=True, name="in_norm")(x)
+        h = conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.policy.compute_dtype,
+            param_dtype=jnp.float32,
+            name="emb_proj",
+        )(jax.nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = jax.nn.silu(h)
+        else:
+            h = h + emb_out.astype(h.dtype)
+            h = GroupNorm32(apply_silu=True, name="out_norm")(h)
+        h = conv3x3(self.out_channels, zero_init=True, dtype=self.policy.compute_dtype, name="out_conv")(h)
+
+        if in_ch != self.out_channels:
+            x = conv1x1(self.out_channels, dtype=self.policy.compute_dtype, name="skip")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (openaimodel.py:134-160)."""
+
+    out_channels: int
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, x):
+        return conv3x3(self.out_channels, stride=2, dtype=self.policy.compute_dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + 3x3 conv (openaimodel.py:91-116)."""
+
+    out_channels: int
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attn when context is None
+    (ldm/modules/attention.py:145-194)."""
+
+    heads: int
+    dim_head: int
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        out_dim = x.shape[-1]
+        context = x if context is None else context
+        dense = lambda name: nn.Dense(
+            inner, use_bias=False, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name=name
+        )
+        q = dense("to_q")(x)
+        k = dense("to_k")(context)
+        v = dense("to_v")(context)
+        b, nq = q.shape[:2]
+        nk = k.shape[1]
+        q = q.reshape(b, nq, self.heads, self.dim_head)
+        k = k.reshape(b, nk, self.heads, self.dim_head)
+        v = v.reshape(b, nk, self.heads, self.dim_head)
+        out = dot_product_attention(q, k, v, softmax_dtype=self.policy.softmax_dtype)
+        out = out.reshape(b, nq, inner)
+        return nn.Dense(
+            out_dim, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="to_out"
+        )(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU FF: Linear→(x·gelu(gate))→Linear (attention.py:49-77)."""
+
+    policy: DTypePolicy
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        proj = nn.Dense(
+            inner * 2, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="proj"
+        )(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        return nn.Dense(dim, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn → cross-attn → GEGLU FF, each with pre-LN + residual
+    (attention.py:246-275)."""
+
+    heads: int
+    dim_head: int
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5, dtype=self.policy.norm_dtype, param_dtype=jnp.float32, name=name
+        )
+        attn = lambda name: CrossAttention(
+            heads=self.heads, dim_head=self.dim_head, policy=self.policy, name=name
+        )
+        x = x + attn("attn1")(ln("norm1")(x).astype(x.dtype))
+        x = x + attn("attn2")(ln("norm2")(x).astype(x.dtype), context=context)
+        x = x + GEGLUFeedForward(policy=self.policy, name="ff")(ln("norm3")(x).astype(x.dtype))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """NHWC↔NLC transformer wrapper with 1x1-conv projections and
+    zero-initialized proj_out (attention.py:278-340)."""
+
+    heads: int
+    dim_head: int
+    depth: int
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        x = GroupNorm32(eps=1e-6, name="norm")(x)
+        x = conv1x1(inner, dtype=self.policy.compute_dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                heads=self.heads, dim_head=self.dim_head, policy=self.policy, name=f"block_{d}"
+            )(x, context=context)
+        x = x.reshape(b, h, w, inner)
+        x = conv1x1(c, zero_init=True, dtype=self.policy.compute_dtype, name="proj_out")(x)
+        return x + residual

@@ -1,0 +1,264 @@
+"""SD3 MMDiT transformer (flow-matching backbone) as Flax modules, NHWC.
+
+TPU-native re-expression of diffusers' `SD3Transformer2DModel` +
+`JointTransformerBlock` as consumed by the reference SD3 pipeline/trainer
+(promptdiffusioncontrolnet_sd3.py:44-483,
+promptdiffusioncontrolnetpipeline_sd3.py:855-1280,
+train_promptdiffusion_sd3.py:809-1317):
+
+  * PatchEmbed: 2×2 conv patchify + learned pos-embed grid (interpolated
+    around a base grid like diffusers' cropped pos embed).
+  * CombinedTimestepTextProjEmbeddings: sinusoidal t-embed → MLP, plus
+    pooled (CLIP) projection → MLP, summed.
+  * JointTransformerBlock: dual-stream (context ‖ latent) attention with
+    AdaLayerNormZero modulation; the final block is context_pre_only.
+  * AdaLayerNormContinuous + linear head back to patches.
+
+Attention runs through the shared `dot_product_attention` (fp32 softmax,
+Pallas flash kernel when shapes qualify).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from prompt_diffusion_tpu.models.layers import timestep_embedding
+from prompt_diffusion_tpu.ops.attention import dot_product_attention
+from prompt_diffusion_tpu.utils.dtypes import DTypePolicy, default_policy
+
+
+@dataclasses.dataclass(frozen=True)
+class MMDiTConfig:
+    """SD3-medium defaults (sample 128 → 1024² pixels)."""
+
+    sample_size: int = 128
+    patch_size: int = 2
+    in_channels: int = 16
+    num_layers: int = 24
+    attention_head_dim: int = 64
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096  # T5/CLIP joint text width
+    caption_projection_dim: int = 1536  # = heads * head_dim
+    pooled_projection_dim: int = 2048
+    out_channels: int = 16
+    pos_embed_max_size: int = 192
+    use_checkpoint: bool = False
+
+    @property
+    def hidden_size(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+
+def _2d_sincos_pos_embed(dim: int, grid: int) -> np.ndarray:
+    """Fixed 2D sin-cos position embedding table (grid², dim)."""
+    def _1d(d, pos):
+        omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    coords = np.arange(grid, dtype=np.float64)
+    gy, gx = np.meshgrid(coords, coords, indexing="ij")
+    emb = np.concatenate([_1d(dim // 2, gx), _1d(dim // 2, gy)], axis=1)
+    return emb.astype(np.float32)  # (grid*grid, dim)
+
+
+class PatchEmbed(nn.Module):
+    """2×2 patchify conv + center-cropped fixed sin-cos pos embed."""
+
+    config: MMDiTConfig
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C) → (B,N,D)
+        cfg = self.config
+        p = cfg.patch_size
+        b, h, w, _ = x.shape
+        x = nn.Conv(
+            cfg.hidden_size, (p, p), strides=(p, p), dtype=self.policy.compute_dtype,
+            param_dtype=jnp.float32, name="proj",
+        )(x)
+        gh, gw = h // p, w // p
+        x = x.reshape(b, gh * gw, cfg.hidden_size)
+        table = _2d_sincos_pos_embed(cfg.hidden_size, cfg.pos_embed_max_size)
+        table = table.reshape(cfg.pos_embed_max_size, cfg.pos_embed_max_size, -1)
+        top = (cfg.pos_embed_max_size - gh) // 2
+        left = (cfg.pos_embed_max_size - gw) // 2
+        pos = jnp.asarray(table[top : top + gh, left : left + gw]).reshape(1, gh * gw, -1)
+        return x + pos.astype(x.dtype)
+
+
+class TimestepTextEmbed(nn.Module):
+    """CombinedTimestepTextProjEmbeddings: sinusoidal(256)→MLP + pooled→MLP."""
+
+    config: MMDiTConfig
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, timestep: jnp.ndarray, pooled: jnp.ndarray) -> jnp.ndarray:
+        cfg, pol = self.config, self.policy
+        # diffusers Timesteps(256, flip_sin_to_cos=True, shift=0): [cos|sin]
+        t_emb = timestep_embedding(timestep, 256).astype(pol.compute_dtype)
+        dense = lambda n, name: nn.Dense(n, dtype=pol.compute_dtype, param_dtype=jnp.float32, name=name)
+        t = dense(cfg.hidden_size, "timestep_fc1")(t_emb)
+        t = dense(cfg.hidden_size, "timestep_fc2")(jax.nn.silu(t))
+        c = dense(cfg.hidden_size, "text_fc1")(pooled.astype(pol.compute_dtype))
+        c = dense(cfg.hidden_size, "text_fc2")(jax.nn.silu(c))
+        return t + c
+
+
+class AdaLayerNormZero(nn.Module):
+    """LN (no affine) + 6-way modulation from the conditioning embedding."""
+
+    policy: DTypePolicy
+    n_mods: int = 6
+
+    @nn.compact
+    def __call__(self, x, emb):
+        dim = x.shape[-1]
+        mods = nn.Dense(
+            self.n_mods * dim, dtype=self.policy.compute_dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros, name="proj",
+        )(jax.nn.silu(emb))
+        mods = jnp.split(mods[:, None, :], self.n_mods, axis=-1)
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         dtype=self.policy.norm_dtype, name="norm")(x).astype(x.dtype)
+        if self.n_mods == 6:
+            shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
+            return h * (1 + scale_msa) + shift_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
+        shift, scale = mods  # AdaLayerNormContinuous-style (2 mods)
+        return h * (1 + scale) + shift
+
+
+class JointBlock(nn.Module):
+    """Dual-stream joint attention block (diffusers JointTransformerBlock)."""
+
+    config: MMDiTConfig
+    policy: DTypePolicy
+    context_pre_only: bool = False
+
+    @nn.compact
+    def __call__(self, hidden, context, emb):
+        cfg, pol = self.config, self.policy
+        dim = cfg.hidden_size
+        heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
+        dense = lambda n, name, zero=False: nn.Dense(
+            n, dtype=pol.compute_dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
+            name=name,
+        )
+
+        h_mod, h_gate, h_shift_mlp, h_scale_mlp, h_gate_mlp = AdaLayerNormZero(
+            pol, name="norm1"
+        )(hidden, emb)
+        if self.context_pre_only:
+            c_mod = AdaLayerNormZero(pol, n_mods=2, name="norm1_context")(context, emb)
+            c_gate = c_shift_mlp = c_scale_mlp = c_gate_mlp = None
+        else:
+            c_mod, c_gate, c_shift_mlp, c_scale_mlp, c_gate_mlp = AdaLayerNormZero(
+                pol, name="norm1_context"
+            )(context, emb)
+
+        b, n_h = h_mod.shape[:2]
+        n_c = c_mod.shape[1]
+        q = jnp.concatenate(
+            [dense(dim, "to_q")(h_mod), dense(dim, "add_q_proj")(c_mod)], axis=1
+        ).reshape(b, n_h + n_c, heads, hd)
+        k = jnp.concatenate(
+            [dense(dim, "to_k")(h_mod), dense(dim, "add_k_proj")(c_mod)], axis=1
+        ).reshape(b, n_h + n_c, heads, hd)
+        v = jnp.concatenate(
+            [dense(dim, "to_v")(h_mod), dense(dim, "add_v_proj")(c_mod)], axis=1
+        ).reshape(b, n_h + n_c, heads, hd)
+        attn = dot_product_attention(q, k, v, softmax_dtype=pol.softmax_dtype)
+        attn = attn.reshape(b, n_h + n_c, dim)
+        attn_h, attn_c = attn[:, :n_h], attn[:, n_h:]
+
+        hidden = hidden + h_gate * dense(dim, "to_out")(attn_h)
+        hn = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                          dtype=pol.norm_dtype, name="norm2")(hidden).astype(hidden.dtype)
+        hn = hn * (1 + h_scale_mlp) + h_shift_mlp
+        ff = dense(dim * 4, "ff_in")(hn)
+        ff = dense(dim, "ff_out")(jax.nn.gelu(ff, approximate=True))
+        hidden = hidden + h_gate_mlp * ff
+
+        if self.context_pre_only:
+            return hidden, None
+        context = context + c_gate * dense(dim, "to_add_out")(attn_c)
+        cn = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                          dtype=pol.norm_dtype, name="norm2_context")(context).astype(context.dtype)
+        cn = cn * (1 + c_scale_mlp) + c_shift_mlp
+        cff = dense(dim * 4, "ff_context_in")(cn)
+        cff = dense(dim, "ff_context_out")(jax.nn.gelu(cff, approximate=True))
+        context = context + c_gate_mlp * cff
+        return hidden, context
+
+
+class SD3Transformer(nn.Module):
+    """The MMDiT ε/velocity model. Consumes optional per-block ControlNet
+    residuals exactly like the reference
+    (`block_controlnet_hidden_states`, interval-scaled over layers —
+    promptdiffusioncontrolnetpipeline_sd3.py:1211-1231)."""
+
+    config: MMDiTConfig = MMDiTConfig()
+    policy: DTypePolicy = default_policy()
+
+    @nn.compact
+    def __call__(
+        self,
+        latents: jnp.ndarray,  # (B, H, W, C) NHWC
+        timestep: jnp.ndarray,  # (B,) float (flow-match t in [0, T])
+        encoder_hidden_states: jnp.ndarray,  # (B, L, joint_attention_dim)
+        pooled_projections: jnp.ndarray,  # (B, pooled_projection_dim)
+        block_controlnet_hidden_states: Optional[Tuple[jnp.ndarray, ...]] = None,
+    ) -> jnp.ndarray:
+        cfg, pol = self.config, self.policy
+        b, h, w, _ = latents.shape
+        p = cfg.patch_size
+
+        hidden = PatchEmbed(cfg, pol, name="pos_embed")(latents.astype(pol.compute_dtype))
+        emb = TimestepTextEmbed(cfg, pol, name="time_text_embed")(
+            timestep, pooled_projections
+        )
+        context = nn.Dense(
+            cfg.caption_projection_dim, dtype=pol.compute_dtype, param_dtype=jnp.float32,
+            name="context_embedder",
+        )(encoder_hidden_states.astype(pol.compute_dtype))
+
+        block_cls = nn.remat(JointBlock) if cfg.use_checkpoint else JointBlock
+        for i in range(cfg.num_layers):
+            pre_only = i == cfg.num_layers - 1
+            hidden, context = block_cls(
+                cfg, pol, context_pre_only=pre_only, name=f"blocks_{i}"
+            )(hidden, context, emb)
+            if block_controlnet_hidden_states is not None and not pre_only:
+                interval = cfg.num_layers // len(block_controlnet_hidden_states)
+                hidden = hidden + block_controlnet_hidden_states[i // interval].astype(
+                    hidden.dtype
+                )
+
+        # AdaLayerNormContinuous head
+        mods = nn.Dense(
+            2 * cfg.hidden_size, dtype=pol.compute_dtype, param_dtype=jnp.float32,
+            name="norm_out_proj",
+        )(jax.nn.silu(emb))
+        shift, scale = jnp.split(mods[:, None, :], 2, axis=-1)
+        hidden = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                              dtype=pol.norm_dtype, name="norm_out")(hidden).astype(
+            pol.compute_dtype
+        )
+        hidden = hidden * (1 + scale) + shift
+        out = nn.Dense(p * p * cfg.out_channels, dtype=pol.compute_dtype,
+                       param_dtype=jnp.float32, name="proj_out")(hidden)
+        # unpatchify → NHWC
+        gh, gw = h // p, w // p
+        out = out.reshape(b, gh, gw, p, p, cfg.out_channels)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, cfg.out_channels)
+        return out.astype(jnp.float32)

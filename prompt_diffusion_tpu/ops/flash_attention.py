@@ -1,0 +1,154 @@
+"""Blockwise (flash) attention Pallas kernel for TPU.
+
+TPU replacement for the reference's xformers `memory_efficient_attention`
+(ldm/modules/attention.py:197-243) and its sliced-attention monkey-patch
+(cldm/hack.py:72-111): one online-softmax kernel covers both.
+
+Design:
+  * Grid over (batch, heads, q-blocks). Each program holds one q block in
+    VMEM and streams K/V in `block_k` chunks with a running max/sum-exp
+    (online softmax), so the Nq×Nk logits matrix never materializes in HBM.
+  * Logits and the accumulator are fp32 (matches the reference's forced
+    fp32 softmax); QKᵀ and PV run on the MXU via `preferred_element_type`.
+  * At Prompt-Diffusion scales (Nk ≤ 4096, D ≤ 160) a full K/V slice for
+    one (b, h) fits comfortably in VMEM (~2.6 MB bf16), so K/V block specs
+    load the whole sequence once per program and the inner loop is pure
+    VMEM traffic.
+  * Backward: custom_vjp that recomputes attention with the XLA einsum
+    path and differentiates that — correct and simple; a fused backward
+    kernel is a later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+    q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
+    block_q, d = q.shape
+    nk = k_ref.shape[2]
+    num_kb = nk // block_k
+
+    def body(kb, carry):
+        acc, m_i, l_i = carry
+        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]  # (block_k, D)
+        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q,
+            k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (block_q, block_k)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_i - m_new)
+        l_new = l_i * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jax.lax.dot_general(
+            p,
+            v.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
+    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0, 0] = (acc / l_i).astype(o_ref.dtype)
+
+
+def _pick_block(n: int, target: int) -> int:
+    """Largest divisor of n that is ≤ target and a multiple of 128 if possible."""
+    for cand in (target, 1024, 512, 256, 128):
+        if cand <= target and n % cand == 0:
+            return cand
+    return n  # small or odd n: single block
+
+
+def _flash_forward(q, k, v, scale):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    # (B, N, H, D) -> (B, H, N, D) for sequence-major blocking
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+
+    block_q = _pick_block(nq, 512)
+    block_k = _pick_block(nk, 512)
+
+    grid = (b, h, nq // block_q)
+    # CPU (tests, virtual meshes) runs the kernel in interpreter mode.
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        functools.partial(_fa_kernel, scale=scale, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda i, j, qb: (i, j, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, d), lambda i, j, qb: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, d), lambda i, j, qb: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda i, j, qb: (i, j, qb, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize * 2,
+            transcendentals=b * h * nq * nk,
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _xla_attention(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention(q, k, v, scale):
+    return _flash_forward(q, k, v, scale)
+
+
+def _fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, res, g):
+    q, k, v = res
+    # Differentiate the (numerically equivalent) XLA path. Recompute is the
+    # standard flash-attention trade: no Nq×Nk tensor was saved in fwd.
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Flash attention over (B, N, H, D) tensors. No mask support — masked
+    or tiny-sequence cases belong on the XLA einsum path."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_attention(q, k, v, float(scale))

@@ -1,0 +1,197 @@
+"""End-to-end SD1.5 Prompt-Diffusion inference pipeline (jitted).
+
+TPU-native fusion of the reference's two inference stacks:
+  * the notebook flow — run_prompt_diffusion.ipynb cell 5 `process`:
+    cond/un_cond dicts, control_scales = strength (or guess-mode decay
+    0.825^(12−i)), DDIMSampler.sample with CFG scale;
+  * PromptDiffusionPipeline.__call__ (pipeline_prompt_diffusion.py:890-1319):
+    encode_prompt, prepare_image, denoise loop, VAE decode.
+
+Everything from text-encoding to VAE decode compiles into ONE XLA program;
+the S-step denoise loop is a `lax.scan` (no per-step dispatch), CFG runs
+as a 2B double-batch exactly like the reference
+(ddim_hacked.py:186-193 — uncond first, cond second).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from prompt_diffusion_tpu.models.clip_text import CLIPTextModel
+from prompt_diffusion_tpu.models.controlnet_sd15 import ControlNetSD15
+from prompt_diffusion_tpu.models.unet_sd15 import UNetSD15
+from prompt_diffusion_tpu.models.vae import AutoencoderKL
+from prompt_diffusion_tpu.schedulers.ddim import DDIMTables, ddim_step
+from prompt_diffusion_tpu.schedulers.schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass
+class PromptDiffusionSD15:
+    """Bundles the four Flax models + schedule; holds no parameters.
+
+    Parameters travel as a dict {"unet","controlnet","vae","clip"} so the
+    pipeline composes with pjit shardings and checkpoint tooling.
+    """
+
+    unet: UNetSD15
+    controlnet: ControlNetSD15
+    vae: AutoencoderKL
+    text_encoder: CLIPTextModel
+    schedule: DiffusionSchedule
+
+    @classmethod
+    def create(cls, unet=None, controlnet=None, vae=None, text_encoder=None, schedule=None):
+        return cls(
+            unet=unet or UNetSD15(),
+            controlnet=controlnet or ControlNetSD15(),
+            vae=vae or AutoencoderKL(),
+            text_encoder=text_encoder or CLIPTextModel(),
+            schedule=schedule
+            or DiffusionSchedule.create(
+                schedule="linear", timesteps=1000, linear_start=0.00085, linear_end=0.0120
+            ),
+        )
+
+    # ---- pieces -----------------------------------------------------------
+
+    def encode_prompt(self, params, token_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.text_encoder.apply(params["clip"], token_ids)["last_hidden_state"]
+
+    def decode_latents(self, params, latents: jnp.ndarray) -> jnp.ndarray:
+        """latents (B,h,w,4) → images (B,H,W,3) in [0,1]."""
+        z = latents / self.vae.config.scale_factor + self.vae.config.shift_factor
+        img = self.vae.apply(params["vae"], z, method=AutoencoderKL.decode)
+        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+    def encode_image(self, params, images: jnp.ndarray, rng) -> jnp.ndarray:
+        """images (B,H,W,3) in [-1,1] → sampled scaled latents (ddpm.py:655-662)."""
+        from prompt_diffusion_tpu.models.vae import sample_from_moments
+
+        moments = self.vae.apply(params["vae"], images, method=AutoencoderKL.encode_moments)
+        z = sample_from_moments(moments, rng)
+        return (z - self.vae.config.shift_factor) * self.vae.config.scale_factor
+
+    def check_inputs(self, token_ids, neg_token_ids, example_pair, query):
+        """Trace-time input validation with actionable messages
+        (pipeline_prompt_diffusion.py:1051-1063 equivalent)."""
+        b, h, w, c = query.shape
+        if c != 3:
+            raise ValueError(f"query must be (B,H,W,3) NHWC, got channels={c}")
+        if example_pair.shape != (b, h, w, 6):
+            raise ValueError(
+                "example_pair must be the 6-channel (condition‖image) stack "
+                f"matching query: expected {(b, h, w, 6)}, got {example_pair.shape}"
+            )
+        if h % 8 or w % 8:
+            raise ValueError(
+                f"image size must be divisible by 8 (VAE downsampling), got {h}x{w}"
+            )
+        for name, ids in (("token_ids", token_ids), ("neg_token_ids", neg_token_ids)):
+            if ids.shape[0] != b:
+                raise ValueError(
+                    f"{name} batch {ids.shape[0]} != image batch {b}"
+                )
+
+    # ---- full generation --------------------------------------------------
+
+    def generate(
+        self,
+        params,
+        rng: jax.Array,
+        token_ids: jnp.ndarray,  # (B, 77) prompt ids
+        neg_token_ids: jnp.ndarray,  # (B, 77) negative/uncond ids
+        example_pair: jnp.ndarray,  # (B, H, W, 6) condition‖image, [-1,1]
+        query: jnp.ndarray,  # (B, H, W, 3) query condition, [-1,1]
+        num_steps: int = 50,
+        guidance_scale: float = 9.0,
+        control_scale: float = 1.0,
+        eta: float = 0.0,
+        guess_mode: bool = False,
+    ) -> jnp.ndarray:
+        """Returns images (B, H, W, 3) in [0,1]. Jit with
+        static_argnums on (num_steps, eta, guess_mode) via the cached
+        wrapper below, or wrap yourself under pjit."""
+        self.check_inputs(token_ids, neg_token_ids, example_pair, query)
+        b, img_h, img_w, _ = query.shape
+        lat_h, lat_w = img_h // 8, img_w // 8
+
+        tables = DDIMTables.create(self.schedule, num_steps, eta=eta)
+
+        ctx_cond = self.encode_prompt(params, token_ids)
+        ctx_uncond = self.encode_prompt(params, neg_token_ids)
+        # uncond first, cond second (ddim_hacked.py:186-193)
+        context2 = jnp.concatenate([ctx_uncond, ctx_cond], axis=0)
+        pair2 = jnp.concatenate([example_pair] * 2, axis=0)
+        query2 = jnp.concatenate([query] * 2, axis=0)
+
+        if guess_mode:
+            # notebook cell 5: strength * 0.825^(12−i) over the 13 taps
+            scales = control_scale * (0.825 ** jnp.arange(12, -1, -1, dtype=jnp.float32))
+            ctrl_scale = tuple(scales[i] for i in range(13))
+        else:
+            ctrl_scale = control_scale
+
+        def eps_fn(x, t_b):
+            x2 = jnp.concatenate([x] * 2, axis=0)
+            t2 = jnp.concatenate([t_b] * 2, axis=0)
+            control = self.controlnet.apply(
+                params["controlnet"], x2, t2, pair2, query2, context2,
+                conditioning_scale=ctrl_scale,
+            )
+            eps2 = self.unet.apply(params["unet"], x2, t2, context2, control=control)
+            eps_uncond, eps_cond = jnp.split(eps2, 2, axis=0)
+            return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+        rng, noise_rng, loop_rng = jax.random.split(rng, 3)
+        x = jax.random.normal(noise_rng, (b, lat_h, lat_w, 4), dtype=jnp.float32)
+
+        stochastic = eta > 0.0
+
+        def body(carry, i):
+            x, key = carry
+            index = num_steps - 1 - i
+            t = tables.timesteps[index]
+            t_b = jnp.full((b,), t, dtype=jnp.int32)
+            eps = eps_fn(x, t_b)
+            if stochastic:
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+            else:
+                noise = None
+            x_prev, _ = ddim_step(x, eps, index, tables, noise=noise)
+            return (x_prev, key), None
+
+        (x, _), _ = jax.lax.scan(body, (x, loop_rng), jnp.arange(num_steps))
+        return self.decode_latents(params, x)
+
+    def jit_generate(self, donate: bool = False):
+        """Jitted generate with the loop-shaping args static."""
+        return jax.jit(
+            functools.partial(self.generate),
+            static_argnames=("num_steps", "guidance_scale", "control_scale", "eta", "guess_mode"),
+        )
+
+    # ---- init -------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array, image_size: int = 512, batch: int = 1):
+        """Random-init parameter dict (for training-from-scratch / tests)."""
+        h = w = image_size
+        lh, lw = h // 8, w // 8
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        x = jnp.zeros((batch, lh, lw, 4))
+        t = jnp.zeros((batch,), jnp.int32)
+        ctx = jnp.zeros((batch, 77, self.text_encoder.config.hidden_size))
+        ids = jnp.zeros((batch, 77), jnp.int32)
+        return {
+            "unet": self.unet.init(r1, x, t, ctx),
+            "controlnet": self.controlnet.init(
+                r2, x, t, jnp.zeros((batch, h, w, 6)), jnp.zeros((batch, h, w, 3)), ctx
+            ),
+            "vae": self.vae.init(r3, jnp.zeros((batch, h, w, 3))),
+            "clip": self.text_encoder.init(r4, ids),
+        }

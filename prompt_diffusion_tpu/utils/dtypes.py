@@ -1,0 +1,49 @@
+"""Dtype policy for TPU execution.
+
+The reference (ldm) runs fp32 end-to-end for training and fp16 for some
+inference, forcing fp32 in GroupNorm (`ldm/modules/diffusionmodules/util.py:217`)
+and in the attention softmax (`ldm/modules/attention.py:173-179`).
+
+On TPU the right policy is: bf16 activations + matmuls (MXU-native),
+fp32 parameters / reductions (GroupNorm stats, softmax, loss). This module
+centralizes that choice so every model takes one `DTypePolicy`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DTypePolicy:
+    """Where each class of tensor lives.
+
+    param_dtype:   dtype in which parameters are stored.
+    compute_dtype: dtype fed to convs/matmuls (MXU wants bf16).
+    norm_dtype:    dtype used for normalization statistics (keep fp32 —
+                   matches the reference's fp32 GroupNorm).
+    softmax_dtype: dtype for attention logits+softmax (keep fp32 — matches
+                   the reference's _ATTN_PRECISION=fp32 path).
+    """
+
+    param_dtype: Dtype = jnp.float32
+    compute_dtype: Dtype = jnp.bfloat16
+    norm_dtype: Dtype = jnp.float32
+    softmax_dtype: Dtype = jnp.float32
+
+    def cast_compute(self, x):
+        return x.astype(self.compute_dtype)
+
+
+def default_policy() -> DTypePolicy:
+    return DTypePolicy()
+
+
+def fp32_policy() -> DTypePolicy:
+    """Full fp32 — used in tests for numerics golden checks."""
+    return DTypePolicy(compute_dtype=jnp.float32)

@@ -1,0 +1,34 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Must set env vars before jax initializes a backend — this file is imported
+by pytest before any test module imports jax.
+"""
+
+import os
+
+# NOTE: assignment must be unconditional — a sitecustomize module may have
+# already set JAX_PLATFORMS (e.g. to a TPU plugin) before pytest starts.
+# PD_TEST_PLATFORM=tpu opts tests onto real hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("PD_TEST_PLATFORM", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Persistent compilation cache: CPU compiles at ~1s/program; caching makes
+# repeated test runs fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# fp32 golden tests need true-fp32 convs/matmuls: XLA's default matmul
+# precision on fp32 inputs is bf16-pass based (≈1e-4..1e-2 error vs torch).
+# The env var has no config mapping — must be set programmatically.
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")

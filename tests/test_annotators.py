@@ -1,0 +1,51 @@
+"""Annotator op tests (batched JAX canny vs OpenCV, utils)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from prompt_diffusion_tpu.annotators.canny import canny
+from prompt_diffusion_tpu.annotators.util import hwc3, normalize_m11
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _iou(a, b):
+    a, b = a > 0, b > 0
+    inter = (a & b).sum()
+    union = (a | b).sum()
+    return inter / max(union, 1)
+
+
+def test_canny_matches_cv2_on_synthetic():
+    img = np.zeros((128, 128), np.uint8)
+    cv2.rectangle(img, (32, 32), (96, 96), 200, -1)
+    cv2.circle(img, (64, 64), 20, 80, -1)
+    ref = cv2.Canny(img, 100, 200)
+    got = np.asarray(canny(jnp.asarray(img[None].astype(np.float32)), 100.0, 200.0))[0]
+    assert _iou(got, ref) > 0.6  # same edges modulo 1px NMS placement
+
+
+def test_canny_batched_shapes():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(3, 64, 64, 3)).astype(np.float32)
+    out = canny(jnp.asarray(imgs))
+    assert out.shape == (3, 64, 64)
+    vals = np.unique(np.asarray(out))
+    assert set(vals.tolist()) <= {0.0, 255.0}
+
+
+def test_hwc3():
+    g = np.zeros((8, 8), np.uint8)
+    assert hwc3(g).shape == (8, 8, 3)
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[..., 3] = 0  # fully transparent → white
+    out = hwc3(rgba)
+    assert out.shape == (8, 8, 3)
+    assert (out == 255).all()
+
+
+def test_normalize_m11():
+    x = jnp.asarray([[0.0, 127.5, 255.0]])
+    out = np.asarray(normalize_m11(x))
+    np.testing.assert_allclose(out, [[-1.0, 0.0, 1.0]], atol=1e-6)

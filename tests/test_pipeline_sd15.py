@@ -1,0 +1,103 @@
+"""End-to-end smoke test: tiny Prompt-Diffusion SD1.5 pipeline, one jitted
+generate() producing finite images, deterministic under a fixed PRNG key."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prompt_diffusion_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from prompt_diffusion_tpu.models.controlnet_sd15 import ControlNetSD15
+from prompt_diffusion_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+from prompt_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
+from prompt_diffusion_tpu.schedulers.schedules import DiffusionSchedule
+from prompt_diffusion_tpu.utils.dtypes import fp32_policy
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    pol = fp32_policy()
+    ucfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                      attention_resolutions=(1,), num_heads=4, context_dim=64)
+    pipe = PromptDiffusionSD15(
+        unet=UNetSD15(config=ucfg, policy=pol),
+        controlnet=ControlNetSD15(config=ucfg, hint_channels=6, policy=pol),
+        vae=AutoencoderKL(config=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1), policy=pol),
+        text_encoder=CLIPTextModel(
+            config=CLIPTextConfig(vocab_size=100, hidden_size=64, num_layers=2,
+                                  num_heads=4, intermediate_size=128),
+            policy=pol,
+        ),
+        schedule=DiffusionSchedule.create(),
+    )
+    params = jax.jit(lambda r: pipe.init_params(r, image_size=64))(jax.random.PRNGKey(0))
+    return pipe, params
+
+
+def test_generate_smoke(tiny_pipeline):
+    pipe, params = tiny_pipeline
+    gen = pipe.jit_generate()
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, (1, 77)), jnp.int32)
+    neg = jnp.zeros_like(ids)
+    pair = jnp.zeros((1, 64, 64, 6))
+    query = jnp.zeros((1, 64, 64, 3))
+    img = gen(params, jax.random.PRNGKey(42), ids, neg, pair, query,
+              num_steps=3, guidance_scale=9.0)
+    assert img.shape == (1, 64, 64, 3)
+    arr = np.asarray(img)
+    assert np.isfinite(arr).all()
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+    # deterministic under the same key
+    img2 = gen(params, jax.random.PRNGKey(42), ids, neg, pair, query,
+               num_steps=3, guidance_scale=9.0)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+
+    # different key → different image
+    img3 = gen(params, jax.random.PRNGKey(7), ids, neg, pair, query,
+               num_steps=3, guidance_scale=9.0)
+    assert not np.array_equal(np.asarray(img), np.asarray(img3))
+
+
+def test_generate_batch2(tiny_pipeline):
+    """Batch >1 regression: table gathers must broadcast over the batch
+    (caught live: scalar reshape to (B,1,1,1) broke at B=2)."""
+    pipe, params = tiny_pipeline
+    gen = pipe.jit_generate()
+    ids = jnp.zeros((2, 77), jnp.int32)
+    img = gen(params, jax.random.PRNGKey(1), ids, ids,
+              jnp.zeros((2, 64, 64, 6)), jnp.zeros((2, 64, 64, 3)), num_steps=2)
+    assert img.shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_generate_input_validation(tiny_pipeline):
+    pipe, params = tiny_pipeline
+    gen = pipe.jit_generate()
+    ids = jnp.zeros((2, 77), jnp.int32)
+    with pytest.raises(ValueError, match="divisible by 8"):
+        gen(params, jax.random.PRNGKey(0), ids, ids,
+            jnp.zeros((2, 100, 100, 6)), jnp.zeros((2, 100, 100, 3)), num_steps=2)
+    with pytest.raises(ValueError, match="batch"):
+        gen(params, jax.random.PRNGKey(0), ids[:1], ids[:1],
+            jnp.zeros((2, 64, 64, 6)), jnp.zeros((2, 64, 64, 3)), num_steps=2)
+
+
+def test_generate_guess_mode_scales(tiny_pipeline):
+    pipe, params = tiny_pipeline
+    gen = pipe.jit_generate()
+    ids = jnp.zeros((1, 77), jnp.int32)
+    img = gen(params, jax.random.PRNGKey(0), ids, ids,
+              jnp.zeros((1, 64, 64, 6)), jnp.zeros((1, 64, 64, 3)),
+              num_steps=2, guess_mode=True)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_vae_roundtrip_through_pipeline_helpers(tiny_pipeline):
+    pipe, params = tiny_pipeline
+    img = jnp.zeros((1, 64, 64, 3))
+    z = jax.jit(pipe.encode_image)(params, img, jax.random.PRNGKey(0))
+    assert z.shape == (1, 8, 8, 4)
+    out = jax.jit(pipe.decode_latents)(params, z)
+    assert out.shape == (1, 64, 64, 3)

@@ -1,0 +1,122 @@
+"""Golden numerics tests for the diffusion schedule tables.
+
+Golden values were computed from the reference formulas
+(ldm/modules/diffusionmodules/util.py:21-75, float64) and hard-coded, so
+the test does not depend on the reference repo being mounted.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from prompt_diffusion_tpu.schedulers import (
+    DDIMTables,
+    DiffusionSchedule,
+    ddim_step,
+    make_beta_schedule,
+)
+from prompt_diffusion_tpu.schedulers.schedules import make_ddim_timesteps, make_ddim_tables
+
+
+SD15 = dict(schedule="linear", timesteps=1000, linear_start=0.00085, linear_end=0.0120)
+
+
+def test_linear_beta_schedule_endpoints():
+    betas = make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    assert betas.dtype == np.float64
+    assert betas[0] == pytest.approx(0.00085, rel=1e-12)
+    assert betas[-1] == pytest.approx(0.0120, rel=1e-12)
+    # sqrt-space linearity: sqrt(betas) is an arithmetic progression
+    d = np.diff(np.sqrt(betas))
+    assert np.allclose(d, d[0], rtol=1e-9)
+
+
+def test_alphas_cumprod_golden():
+    sched = DiffusionSchedule.create(**SD15)
+    acp = np.asarray(sched.alphas_cumprod)
+    assert acp[0] == pytest.approx(0.99915, rel=1e-6)
+    assert acp[499] == pytest.approx(0.27766965045646763, rel=1e-6)
+    assert acp[999] == pytest.approx(0.004660098513077238, rel=1e-6)
+
+
+def test_ddim_timesteps_uniform_50():
+    ts = make_ddim_timesteps(50, 1000)
+    assert ts.shape == (50,)
+    assert ts[0] == 1 and ts[1] == 21 and ts[-1] == 981
+
+
+def test_ddim_alpha_tables_golden():
+    sched = DiffusionSchedule.create(**SD15)
+    ts = make_ddim_timesteps(50, 1000)
+    sigmas, alphas, alphas_prev = make_ddim_tables(
+        np.cumprod(1 - make_beta_schedule("linear", 1000, 0.00085, 0.0120)), ts, eta=1.0
+    )
+    assert alphas[0] == pytest.approx(0.9982960278384514, rel=1e-9)
+    assert alphas[-1] == pytest.approx(0.005775500139495751, rel=1e-9)
+    assert sigmas[1] == pytest.approx(0.03947954614089512, rel=1e-9)
+    assert sigmas[-1] == pytest.approx(0.45446327241359896, rel=1e-9)
+    # eta=0 → deterministic DDIM
+    sig0, _, _ = make_ddim_tables(np.cumprod(1 - make_beta_schedule("linear", 1000)), ts, eta=0.0)
+    assert np.all(sig0 == 0)
+
+
+def test_q_sample_roundtrip():
+    sched = DiffusionSchedule.create(**SD15)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), dtype=jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), dtype=jnp.float32)
+    t = jnp.asarray([10, 500], dtype=jnp.int32)
+    x_t = sched.q_sample(x0, t, eps)
+    # invert: eps_rec from x_t and x0
+    a = sched.sqrt_alphas_cumprod[t].reshape(2, 1, 1, 1)
+    s = sched.sqrt_one_minus_alphas_cumprod[t].reshape(2, 1, 1, 1)
+    eps_rec = (x_t - a * x0) / s
+    np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(eps), rtol=1e-4, atol=1e-5)
+
+
+def test_v_parameterization_consistency():
+    """predict_start/eps_from_z_and_v must invert get_v + q_sample (ddpm.py:362-381)."""
+    sched = DiffusionSchedule.create(**SD15)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(2, 4, 4, 4)), dtype=jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(2, 4, 4, 4)), dtype=jnp.float32)
+    t = jnp.asarray([100, 900], dtype=jnp.int32)
+    x_t = sched.q_sample(x0, t, eps)
+    v = sched.get_v(x0, eps, t)
+    np.testing.assert_allclose(
+        np.asarray(sched.predict_start_from_z_and_v(x_t, t, v)), np.asarray(x0), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.predict_eps_from_z_and_v(x_t, t, v)), np.asarray(eps), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sched.predict_start_from_noise(x_t, t, eps)), np.asarray(x0), atol=1e-4
+    )
+
+
+def test_ddim_step_perfect_model_recovers_x0():
+    """With a model that predicts the exact ε, DDIM(eta=0) marches x_t toward x0."""
+    sched = DiffusionSchedule.create(**SD15)
+    tables = DDIMTables.create(sched, num_steps=50, eta=0.0)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), dtype=jnp.float32) * 0.5
+    eps = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), dtype=jnp.float32)
+
+    # start at the last DDIM step's timestep
+    index = tables.num_steps - 1
+    t = tables.timesteps[index]
+    x_t = sched.q_sample(x0, jnp.asarray([t]), eps)
+    x = x_t
+    for i in range(tables.num_steps - 1, -1, -1):
+        t_i = tables.timesteps[i]
+        # true eps for the current x along the same (x0, eps) ray:
+        a = tables.alphas[i] ** 0.5
+        s = tables.sqrt_one_minus_alphas[i]
+        true_eps = (x - a * x0) / s
+        x, pred_x0 = ddim_step(x, true_eps, i, tables)
+        np.testing.assert_allclose(np.asarray(pred_x0), np.asarray(x0), atol=1e-4)
+    # final x sits at DDPM timestep 1 (ᾱ₀=0.99915), so it still carries
+    # sqrt(1−ᾱ₀)≈0.029 of ε — exactly like the reference sampler.
+    a0 = float(tables.alphas_prev[0])
+    resid = np.asarray(x) - np.sqrt(a0) * np.asarray(x0)
+    assert np.abs(resid).max() <= np.sqrt(1 - a0) * 5.0
