@@ -1,0 +1,115 @@
+"""Canonical single-example Prompt-Diffusion inference (the notebook flow).
+
+Script equivalent of `run_prompt_diffusion.ipynb`: given a vision-language
+prompt — (example condition, example image) pair + query condition + text —
+generate the query's image. Task dispatch and preprocessing follow notebook
+cell 4 `prepair_input`: conditions from the live annotators (or inverse
+tasks feeding images directly), query normalized to [-1,1], example pair =
+channel-concat(condition, image); sampling follows cell 5 `process`
+(DDIM, CFG 9.0, control_scales = strength or guess-mode 0.825^(12−i)).
+
+  python examples/run_prompt_diffusion.py \
+      --ckpt network-step=04999.ckpt --tokenizer-assets ./clip_assets \
+      --example-image house.png --query-image house_line.png \
+      --task hed --prompt "a beautiful house" --out out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+A_PROMPT = "best quality, extremely detailed"
+N_PROMPT = "longbody, lowres, bad anatomy, bad hands, missing fingers, extra digit, fewer digits, cropped, worst quality, low quality"
+
+TASKS = ("hed", "seg", "depth", "normal", "canny",
+         "inv_hed", "inv_seg", "inv_depth", "inv_normal", "inv_canny")
+
+
+def extract_condition(image_u8: np.ndarray, task: str, annotators: dict) -> np.ndarray:
+    """uint8 HWC → condition uint8 HWC for a forward task."""
+    import jax.numpy as jnp
+
+    if task == "canny":
+        from prompt_diffusion_tpu.annotators.canny import canny
+
+        edge = np.asarray(canny(jnp.asarray(image_u8[None].astype(np.float32))))[0]
+        return np.repeat(edge[..., None].astype(np.uint8), 3, axis=-1)
+    raise NotImplementedError(
+        f"annotator weights for '{task}' must be supplied; canny runs weight-free"
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--tokenizer-assets", default=None)
+    p.add_argument("--example-image", required=True, help="support ground-truth image")
+    p.add_argument("--example-cond", default=None,
+                   help="precomputed support condition (else run the annotator)")
+    p.add_argument("--query-image", required=True,
+                   help="query condition image (forward task) or image (inverse task)")
+    p.add_argument("--task", choices=TASKS, default="hed")
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--a-prompt", default=A_PROMPT)
+    p.add_argument("--n-prompt", default=N_PROMPT)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--cfg", type=float, default=9.0)
+    p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--guess-mode", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="out.png")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from prompt_diffusion_tpu.annotators.util import hwc3, resize_image
+    from prompt_diffusion_tpu.data.tokenizer import load_tokenizer
+    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
+    from prompt_diffusion_tpu.tools.torch_import import import_ldm_checkpoint
+
+    res = args.resolution
+
+    def load(path):
+        return resize_image(hwc3(np.asarray(Image.open(path).convert("RGB"))), res)
+
+    example_img = load(args.example_image)
+    query = load(args.query_image)
+    if args.example_cond:
+        example_cond = load(args.example_cond)
+    else:
+        example_cond = extract_condition(example_img, args.task.removeprefix("inv_"), {})
+
+    if args.task.startswith("inv_"):
+        # inverse task: condition is the *target*; pair = (image, condition)
+        example_cond, example_img = example_img, example_cond
+
+    pair = np.concatenate(
+        [example_cond.astype(np.float32) / 127.5 - 1.0,
+         example_img.astype(np.float32) / 127.5 - 1.0], axis=-1)
+    query_m11 = query.astype(np.float32) / 127.5 - 1.0
+
+    pipe = PromptDiffusionSD15.create()
+    params = import_ldm_checkpoint(args.ckpt)
+    tok = load_tokenizer(args.tokenizer_assets)
+    ids = jnp.asarray(tok([args.prompt + ", " + args.a_prompt]))
+    neg = jnp.asarray(tok([args.n_prompt]))
+
+    gen = pipe.jit_generate()
+    img = gen(
+        params, jax.random.PRNGKey(args.seed), ids, neg,
+        jnp.asarray(pair[None]), jnp.asarray(query_m11[None]),
+        num_steps=args.steps, guidance_scale=args.cfg,
+        control_scale=args.strength, guess_mode=args.guess_mode,
+    )
+    out = (np.asarray(img[0]) * 255).astype(np.uint8)
+    Image.fromarray(out).save(args.out)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

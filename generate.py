@@ -1,0 +1,130 @@
+"""Batch generation driver (TPU).
+
+Consolidates the reference's three generation drivers:
+  * generate_sd15.py — SD1.5 batch generation over LAION val
+  * generate_train.py — SD3 generation, `--compute-fid` raw-PNG layout,
+    `--black-support` ablation (zeroed support pair, :115,227-232)
+  * generate_test.py — COCO-2017-val unseen-task generation
+
+Rank sharding: shards the file list by jax.process_index()/count() —
+the XLA-native analogue of eval/evaluate_gen.py's torch.distributed
+rank sharding (:55-57).
+
+  python generate.py --stack sd15 --ckpt ckpt.ckpt --data-root ... \
+      --dataset laion --task hed --out-dir gen/ [--black-support]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stack", choices=["sd15", "sd3"], default="sd15")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--dataset", choices=["laion", "coco"], default="laion")
+    p.add_argument("--tasks", nargs="+", default=["hed"])
+    p.add_argument("--out-dir", default="generated_images")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--steps", type=int, default=24)
+    p.add_argument("--cfg", type=float, default=5.0)
+    p.add_argument("--control-scale", type=float, default=1.0)
+    p.add_argument("--sampler", choices=["ddim", "unipc"], default="ddim")
+    p.add_argument("--black-support", action="store_true",
+                   help="zero the support pair (generate_train.py ablation)")
+    p.add_argument("--compute-fid", action="store_true",
+                   help="also dump raw PNGs under <out>/fid/<task>/")
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--tokenizer-assets", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from prompt_diffusion_tpu.data.tokenizer import load_tokenizer
+    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
+    from prompt_diffusion_tpu.tools.torch_import import import_ldm_checkpoint
+
+    assert args.stack == "sd15", "sd3 batch generation wiring lands with SD3 weights import"
+
+    pipe = PromptDiffusionSD15.create()
+    params = import_ldm_checkpoint(args.ckpt)
+    tok = load_tokenizer(args.tokenizer_assets)
+    gen = pipe.jit_generate()
+
+    if args.dataset == "coco":
+        from prompt_diffusion_tpu.data.coco_val import COCOValDataset
+
+        ds = COCOValDataset(args.data_root, tasks=args.tasks, res=args.resolution)
+        batch_iters = [(t, ds.batches(args.batch_size, t)) for t in args.tasks]
+    else:
+        from prompt_diffusion_tpu.data.laion_meta import ControlDataModule
+
+        dm = ControlDataModule(args.data_root, res=args.resolution,
+                               nonhuman_tasks=tuple(args.tasks))
+        batch_iters = [("meta", iter(dm.loader("val", args.batch_size, seed=args.seed)))]
+
+    rank, world = jax.process_index(), jax.process_count()
+    os.makedirs(args.out_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed + rank)
+
+    n_done = 0
+    for task, it in batch_iters:
+        for bi, batch in enumerate(it):
+            if args.max_batches is not None and bi >= args.max_batches:
+                break
+            if bi % world != rank:
+                continue
+            if args.dataset == "coco":
+                query = batch["condition"] * 2 - 1
+                # unseen-task eval uses a fixed support from the train set;
+                # here: first item of the batch acts as support for the rest
+                sup_img = batch["image"][:1].repeat(len(batch["image"]), 0)
+                sup_cond = batch["condition"][:1].repeat(len(batch["image"]), 0) * 2 - 1
+                prompts = batch["prompt"]
+                names = batch["name"]
+            else:
+                # meta batch: images (B, 2*shots, H,W,3); conditions (B,T,2s,...)
+                images = batch["images"]
+                conds = batch["conditions"][:, 0]
+                query = conds[:, 0] * 2 - 1
+                sup_cond = conds[:, 1] * 2 - 1
+                sup_img = images[:, 1]
+                prompts = [p[0] for p in batch["prompts"]]
+                names = [f"b{bi:05d}_{j}" for j in range(len(prompts))]
+
+            pair = np.concatenate([sup_cond, sup_img], axis=-1)
+            if args.black_support:
+                pair = np.zeros_like(pair)
+
+            ids = jnp.asarray(tok(prompts))
+            neg = jnp.asarray(tok([""] * len(prompts)))
+            rng, sub = jax.random.split(rng)
+            imgs = gen(params, sub, ids, neg, jnp.asarray(pair), jnp.asarray(query),
+                       num_steps=args.steps, guidance_scale=args.cfg,
+                       control_scale=args.control_scale)
+            arr = (np.asarray(imgs) * 255).astype(np.uint8)
+            for name, im in zip(names, arr):
+                Image.fromarray(im).save(os.path.join(args.out_dir, f"{name}.png"))
+                if args.compute_fid:
+                    fid_dir = os.path.join(args.out_dir, "fid", task)
+                    os.makedirs(fid_dir, exist_ok=True)
+                    Image.fromarray(im).save(os.path.join(fid_dir, f"{name}.png"))
+            n_done += len(arr)
+            print(f"[{rank}/{world}] {task} batch {bi}: {n_done} images")
+    print(f"rank {rank}: wrote {n_done} images → {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Distributed FID (eval/fid.py port, TPU-native).
+
+The reference computes FID with a rank-sharded Inception-v3 feature pass,
+NCCL `all_reduce` of (Σx, Σxxᵀ) and a rank-0 Fréchet distance
+(eval/fid.py:23-136). Here:
+
+  * features come from any jittable `feature_fn(images01) → (B, D)`;
+    `inception.InceptionV3` (weights imported from the standard
+    pt_inception checkpoint) is the parity extractor, and any embedding
+    model works for relative comparisons.
+  * per-device partial sums reduce with `jax.lax.psum` under shard_map
+    over the mesh — the exact analogue of the NCCL all_reduce — or, in
+    the single-process path, a simple batched scan.
+  * the Fréchet distance uses the symmetric-PSD form
+    tr(Σ1) + tr(Σ2) − 2·tr(sqrtm(Σ1^{1/2} Σ2 Σ1^{1/2}))
+    (equals the reference's sqrtm(Σ1Σ2) trace, but numerically stable
+    via eigh; scipy.linalg.sqrtm is matched within tolerance).
+
+CLI (mirrors `fid.py calc/ref`):
+  python -m prompt_diffusion_tpu.evaluation.fid ref  --images DIR --out ref.npz
+  python -m prompt_diffusion_tpu.evaluation.fid calc --images DIR --ref ref.npz
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class FeatureStats:
+    """Streaming (Σx, Σxxᵀ, n) — merge-able across shards/hosts."""
+
+    raw_sum: np.ndarray  # (D,)
+    raw_outer: np.ndarray  # (D, D)
+    count: int
+
+    @classmethod
+    def zero(cls, dim: int) -> "FeatureStats":
+        return cls(np.zeros(dim, np.float64), np.zeros((dim, dim), np.float64), 0)
+
+    def update(self, feats: np.ndarray) -> "FeatureStats":
+        f = feats.astype(np.float64)
+        return FeatureStats(
+            self.raw_sum + f.sum(0), self.raw_outer + f.T @ f, self.count + len(f)
+        )
+
+    def merge(self, other: "FeatureStats") -> "FeatureStats":
+        return FeatureStats(
+            self.raw_sum + other.raw_sum,
+            self.raw_outer + other.raw_outer,
+            self.count + other.count,
+        )
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
+        mu = self.raw_sum / self.count
+        sigma = self.raw_outer / self.count - np.outer(mu, mu)
+        # unbiased (matches np.cov / reference eval/fid.py:70-75)
+        sigma = sigma * (self.count / max(self.count - 1, 1))
+        return mu, sigma
+
+    def save(self, path: str):
+        np.savez(path, raw_sum=self.raw_sum, raw_outer=self.raw_outer, count=self.count)
+
+    @classmethod
+    def load(cls, path: str) -> "FeatureStats":
+        z = np.load(path)
+        return cls(z["raw_sum"], z["raw_outer"], int(z["count"]))
+
+
+def psum_stats(raw_sum: jnp.ndarray, raw_outer: jnp.ndarray, count: jnp.ndarray, axis: str):
+    """In-pjit reduction of partial stats (the NCCL all_reduce equivalent,
+    eval/fid.py:73-74). Call inside shard_map over the data axis."""
+    return (
+        jax.lax.psum(raw_sum, axis),
+        jax.lax.psum(raw_outer, axis),
+        jax.lax.psum(count, axis),
+    )
+
+
+def _sqrtm_psd(a: np.ndarray) -> np.ndarray:
+    vals, vecs = np.linalg.eigh(a)
+    vals = np.clip(vals, 0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    """FID between two Gaussians (eval/fid.py:82-86 semantics)."""
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    s1, s2 = np.asarray(sigma1, np.float64), np.asarray(sigma2, np.float64)
+    diff = mu1 - mu2
+    s1_half = _sqrtm_psd(s1)
+    covmean = _sqrtm_psd(s1_half @ s2 @ s1_half)
+    return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * np.trace(covmean))
+
+
+def compute_stats_from_iterator(
+    feature_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    batches: Iterator[np.ndarray],
+    feature_dim: int,
+) -> FeatureStats:
+    """Single-process path: stream batches (B,H,W,3 in [0,1]) → stats."""
+    stats = FeatureStats.zero(feature_dim)
+    f = jax.jit(feature_fn)
+    for batch in batches:
+        feats = np.asarray(f(jnp.asarray(batch)))
+        stats = stats.update(feats)
+    return stats
+
+
+def fid_between_dirs(
+    feature_fn, feature_dim: int, dir_gen: str, ref_stats_path: str, batch_size: int = 32
+) -> float:
+    stats = compute_stats_from_iterator(
+        feature_fn, _image_dir_batches(dir_gen, batch_size), feature_dim
+    )
+    mu_g, sig_g = stats.finalize()
+    mu_r, sig_r = FeatureStats.load(ref_stats_path).finalize()
+    return frechet_distance(mu_g, sig_g, mu_r, sig_r)
+
+
+def _image_dir_batches(directory: str, batch_size: int, res: int = 299):
+    from PIL import Image
+
+    files = sorted(
+        os.path.join(directory, f)
+        for f in os.listdir(directory)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    for i in range(0, len(files), batch_size):
+        imgs = [
+            np.asarray(
+                Image.open(f).convert("RGB").resize((res, res), Image.BILINEAR),
+                dtype=np.float32,
+            )
+            / 255.0
+            for f in files[i : i + batch_size]
+        ]
+        yield np.stack(imgs)
+
+
+def _default_feature_fn():
+    from prompt_diffusion_tpu.evaluation.inception import InceptionV3, load_inception_params
+
+    model = InceptionV3()
+    params = load_inception_params()
+    return (lambda x: model.apply(params, x)), 2048
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("mode", choices=["calc", "ref"])
+    p.add_argument("--images", required=True)
+    p.add_argument("--ref", default=None)
+    p.add_argument("--out", default="fid_ref.npz")
+    p.add_argument("--batch", type=int, default=32)
+    args = p.parse_args()
+
+    feature_fn, dim = _default_feature_fn()
+    if args.mode == "ref":
+        stats = compute_stats_from_iterator(
+            feature_fn, _image_dir_batches(args.images, args.batch), dim
+        )
+        stats.save(args.out)
+        print(f"saved reference stats ({stats.count} images) → {args.out}")
+    else:
+        fid = fid_between_dirs(feature_fn, dim, args.images, args.ref, args.batch)
+        print(f"FID: {fid:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""End-to-end SD3 Prompt-Diffusion inference pipeline (jitted).
+
+TPU-native re-expression of `SD3PromptDiffusionPipeLine`
+(promptdiffusioncontrolnetpipeline_sd3.py:855-1280):
+  * triple text encoding — CLIP-L + CLIP-bigG (pooled+penultimate) and
+    T5 (sequence), joined exactly like `encode_prompt` (:351-543):
+    clip_seq = cat(clipL_hidden, clipG_hidden) padded to T5 width,
+    joint = cat([clip_seq, t5_seq], axis=1) ; pooled = cat(pooledL, pooledG)
+  * support pair → `encode_support_pair` (down_proj 6→3 → VAE encode with
+    shift/scale, :1096-1115); query cond → VAE latent (:1118-1133)
+  * FlowMatchEuler loop as ONE `lax.scan` (the reference's per-step
+    `xm.mark_step()` at :1264-1265 becomes the scan boundary)
+  * CFG double-batch (uncond ‖ cond), VAE decode with shift_factor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from prompt_diffusion_tpu.models.clip_text import CLIPTextModel
+from prompt_diffusion_tpu.models.controlnet_sd3 import SD3ControlNet, SupportPairDownProj
+from prompt_diffusion_tpu.models.mmdit_sd3 import SD3Transformer
+from prompt_diffusion_tpu.models.t5_text import T5Encoder
+from prompt_diffusion_tpu.models.vae import AutoencoderKL, sample_from_moments
+from prompt_diffusion_tpu.schedulers.flow_match import flow_match_step, make_inference_sigmas
+
+
+@dataclasses.dataclass
+class PromptDiffusionSD3:
+    """Model bundle. Param dict keys:
+    {"transformer","controlnet","down_proj","vae","clip_l","clip_g","t5"}."""
+
+    transformer: SD3Transformer
+    controlnet: SD3ControlNet
+    down_proj: SupportPairDownProj
+    vae: AutoencoderKL
+    clip_l: CLIPTextModel
+    clip_g: CLIPTextModel
+    t5: Optional[T5Encoder]
+
+    @classmethod
+    def create(cls, transformer=None, controlnet=None, vae=None,
+               clip_l=None, clip_g=None, t5=None):
+        from prompt_diffusion_tpu.models.clip_text import CLIPTextConfig
+        from prompt_diffusion_tpu.models.mmdit_sd3 import MMDiTConfig
+        from prompt_diffusion_tpu.models.vae import VAEConfig
+
+        sd3_vae = VAEConfig(z_channels=16, scale_factor=1.5305, shift_factor=0.0609)
+        return cls(
+            transformer=transformer or SD3Transformer(),
+            controlnet=controlnet or SD3ControlNet(),
+            down_proj=SupportPairDownProj(),
+            vae=vae or AutoencoderKL(config=sd3_vae),
+            clip_l=clip_l or CLIPTextModel(),
+            clip_g=clip_g
+            or CLIPTextModel(
+                config=CLIPTextConfig(hidden_size=1280, num_layers=32, num_heads=20,
+                                      intermediate_size=5120, activation="gelu")
+            ),
+            t5=t5,  # None → zero-padded T5 slots (drop_t5 mode)
+        )
+
+    # ---- text encoding ---------------------------------------------------
+
+    def encode_prompt(self, params, ids_l, ids_g, ids_t5=None, t5_len: int = 256):
+        """Returns (joint_seq (B, 77+L_t5, joint_dim), pooled (B, 2048))."""
+        joint_dim = self.transformer.config.joint_attention_dim
+        out_l = self.clip_l.apply(params["clip_l"], ids_l, output_hidden_layer=2)
+        out_g = self.clip_g.apply(params["clip_g"], ids_g, output_hidden_layer=2)
+        clip_seq = jnp.concatenate([out_l["hidden"], out_g["hidden"]], axis=-1)
+        pad = joint_dim - clip_seq.shape[-1]
+        clip_seq = jnp.pad(clip_seq, ((0, 0), (0, 0), (0, pad)))
+        pooled = jnp.concatenate([out_l["pooled"], out_g["pooled"]], axis=-1)
+        if self.t5 is not None and ids_t5 is not None:
+            t5_seq = self.t5.apply(params["t5"], ids_t5)
+        else:
+            t5_seq = jnp.zeros((ids_l.shape[0], t5_len, joint_dim), jnp.float32)
+        return jnp.concatenate([clip_seq, t5_seq], axis=1), pooled
+
+    # ---- VAE helpers -----------------------------------------------------
+
+    def _encode_vae(self, params, images, rng):
+        moments = self.vae.apply(params["vae"], images, method=AutoencoderKL.encode_moments)
+        z = sample_from_moments(moments, rng)
+        return (z - self.vae.config.shift_factor) * self.vae.config.scale_factor
+
+    def encode_support_pair(self, params, cond, gt, rng):
+        """down_proj(cond‖gt) → VAE encode → shift/scale latents
+        (promptdiffusioncontrolnet_sd3.py:189-198 + pipeline :1096-1115)."""
+        mixed = self.down_proj.apply(params["down_proj"], cond, gt)
+        return self._encode_vae(params, mixed, rng)
+
+    def decode_latents(self, params, latents):
+        z = latents / self.vae.config.scale_factor + self.vae.config.shift_factor
+        img = self.vae.apply(params["vae"], z, method=AutoencoderKL.decode)
+        # reference custom postprocess maps the 0-1-trained output (:805-851)
+        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+    # ---- generation ------------------------------------------------------
+
+    def generate(
+        self,
+        params,
+        rng: jax.Array,
+        prompt_ids,  # dict(l=(B,77), g=(B,77), t5=(B,L) or None)
+        neg_prompt_ids,
+        control_image: jnp.ndarray,  # (B,H,W,3) query condition, [-1,1]
+        support_cond: jnp.ndarray,  # (B,H,W,3) support condition, [-1,1]
+        support_image: jnp.ndarray,  # (B,H,W,3) support image, [-1,1]
+        num_steps: int = 28,
+        guidance_scale: float = 7.0,
+        controlnet_conditioning_scale: float = 1.0,
+        shift: float = 3.0,
+    ) -> jnp.ndarray:
+        b, img_h, img_w, _ = control_image.shape
+        lat_h, lat_w = img_h // 8, img_w // 8
+        zc = self.vae.config.z_channels
+
+        ctx_c, pool_c = self.encode_prompt(
+            params, prompt_ids["l"], prompt_ids["g"], prompt_ids.get("t5")
+        )
+        ctx_u, pool_u = self.encode_prompt(
+            params, neg_prompt_ids["l"], neg_prompt_ids["g"], neg_prompt_ids.get("t5")
+        )
+        context2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
+        pooled2 = jnp.concatenate([pool_u, pool_c], axis=0)
+
+        rng, r_pair, r_cond, r_noise = jax.random.split(rng, 4)
+        pair_lat = self.encode_support_pair(params, support_cond, support_image, r_pair)
+        cond_lat = self._encode_vae(params, control_image, r_cond)
+        pair2 = jnp.concatenate([pair_lat] * 2, axis=0)
+        cond2 = jnp.concatenate([cond_lat] * 2, axis=0)
+
+        timesteps_np, sigmas_np = make_inference_sigmas(num_steps, shift=shift)
+        timesteps = jnp.asarray(timesteps_np, jnp.float32)
+        sigmas = jnp.asarray(sigmas_np, jnp.float32)
+
+        x = jax.random.normal(r_noise, (b, lat_h, lat_w, zc), dtype=jnp.float32)
+
+        def body(x, i):
+            t2 = jnp.full((2 * b,), timesteps[i], dtype=jnp.float32)
+            x2 = jnp.concatenate([x] * 2, axis=0)
+            control = self.controlnet.apply(
+                params["controlnet"], x2, t2, cond2, pair2, context2, pooled2,
+                conditioning_scale=controlnet_conditioning_scale,
+            )
+            v2 = self.transformer.apply(
+                params["transformer"], x2, t2, context2, pooled2,
+                block_controlnet_hidden_states=control,
+            )
+            v_u, v_c = jnp.split(v2, 2, axis=0)
+            v = v_u + guidance_scale * (v_c - v_u)
+            return flow_match_step(x, v, sigmas[i], sigmas[i + 1]), None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(num_steps))
+        return self.decode_latents(params, x)
+
+    def jit_generate(self):
+        import functools
+
+        return jax.jit(
+            self.generate,
+            static_argnames=(
+                "num_steps", "guidance_scale", "controlnet_conditioning_scale", "shift"
+            ),
+        )

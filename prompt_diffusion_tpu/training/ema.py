@@ -19,7 +19,8 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params) -> EMAState:
-    return EMAState(params=jax.tree_util.tree_map(jnp.asarray, params),
+    # copy (not alias) so the train step can donate both trees safely
+    return EMAState(params=jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
                     count=jnp.zeros((), jnp.int32))
 
 
