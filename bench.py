@@ -23,6 +23,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+_T0 = time.perf_counter()
+
 A100_REFERENCE_IMGS_PER_SEC = 0.33
 
 
@@ -34,13 +36,21 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
+    import sys
+    import time as _time
+
     from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
+
+    def log(msg):
+        print(f"[bench +{_time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
     pipe = PromptDiffusionSD15.create()
     rng = jax.random.PRNGKey(0)
+    log("initializing params (jitted init)...")
     init = jax.jit(lambda r: pipe.init_params(r, image_size=args.size), static_argnums=())
     params = init(rng)
     jax.block_until_ready(params)
+    log("params ready")
 
     b = args.batch
     ids = jnp.zeros((b, 77), jnp.int32)
@@ -55,9 +65,11 @@ def main():
                    num_steps=args.steps, guidance_scale=9.0)
 
     # compile + warmup
+    log("compiling generate program...")
     t0 = time.perf_counter()
     run(jax.random.PRNGKey(1)).block_until_ready()
     compile_s = time.perf_counter() - t0
+    log(f"compiled+warm in {compile_s:.0f}s; timing {args.iters} iters")
 
     times = []
     for i in range(args.iters):
