@@ -111,27 +111,38 @@ class EditDataset:
     def __len__(self) -> int:
         return self.max_task_size
 
-    def sample(self, rng: np.random.Generator, i: int) -> dict:
+    def sample_paths(self, rng: np.random.Generator, i: int) -> dict:
+        """Pick (query, support) records without decoding — lets the batch
+        loader hand all image paths to the native C++ decoder at once."""
         task = self.task_list[rng.integers(len(self.task_list))]
         files = self.file_mapping[task]
         rec = files[i % len(files)]
-
         siblings = [j for j in self.dir_index[task][rec.dir_name] if files[j] is not rec]
         sup = files[siblings[rng.integers(len(siblings))]] if siblings else rec
-
-        res = self.resolution
-        image = _load_image(rec.gt_path, res, to_m11=True)
-        query = _load_image(rec.control_path, res, to_m11=False)
-        control_sp = _load_image(sup.control_path, res, to_m11=False)
-        image_sp = _load_image(sup.gt_path, res, to_m11=True)
         with open(rec.txt_path) as f:
             prompt = f.read().strip()
+        return dict(
+            image_path=rec.gt_path,
+            query_path=rec.control_path,
+            support_cond_path=sup.control_path,
+            support_image_path=sup.gt_path,
+            prompt=prompt,
+            task=task,
+        )
+
+    def sample(self, rng: np.random.Generator, i: int) -> dict:
+        rec = self.sample_paths(rng, i)
+        res = self.resolution
+        image = _load_image(rec["image_path"], res, to_m11=True)
+        query = _load_image(rec["query_path"], res, to_m11=False)
+        control_sp = _load_image(rec["support_cond_path"], res, to_m11=False)
+        image_sp = _load_image(rec["support_image_path"], res, to_m11=True)
         return dict(
             image=image,
             query=query,
             example_pair=np.concatenate([control_sp, image_sp], axis=-1),
-            prompt=prompt,
-            task=task,
+            prompt=rec["prompt"],
+            task=rec["task"],
         )
 
 
@@ -165,9 +176,50 @@ class BatchLoader:
         self.max_tokens = max_tokens
 
     def _make_batch(self, rng: np.random.Generator, indices) -> dict:
+        seeds = rng.integers(0, 2**31, size=len(indices))
+        batch = self._make_batch_native(seeds, indices)
+        if batch is None:
+            batch = self._make_batch_pil(seeds, indices)
+        if self.tokenizer is not None:
+            batch["token_ids"] = self.tokenizer(batch["prompt"], self.max_tokens)
+            batch["null_ids"] = self.tokenizer([""], self.max_tokens)
+        return batch
+
+    def _make_batch_native(self, seeds, indices):
+        """Fast path: one C++ call decodes the whole batch's images
+        (prompt_diffusion_tpu.native). Requires a sample_paths()-style
+        dataset; returns None to fall back."""
+        if not hasattr(self.ds, "sample_paths"):
+            return None
+        from prompt_diffusion_tpu.native import load_batch, native_available
+
+        if not native_available():
+            return None
+        recs = [
+            self.ds.sample_paths(np.random.default_rng(s), i)
+            for s, i in zip(seeds, indices)
+        ]
+        res = self.ds.resolution
+        n = len(recs)
+        m11 = load_batch(
+            [r["image_path"] for r in recs] + [r["support_image_path"] for r in recs],
+            res, to_m11=True, n_threads=self.num_threads,
+        )
+        p01 = load_batch(
+            [r["query_path"] for r in recs] + [r["support_cond_path"] for r in recs],
+            res, to_m11=False, n_threads=self.num_threads,
+        )
+        return {
+            "image": m11[:n],
+            "query": p01[:n],
+            "example_pair": np.concatenate([p01[n:], m11[n:]], axis=-1),
+            "prompt": [r["prompt"] for r in recs],
+            "task": [r["task"] for r in recs],
+        }
+
+    def _make_batch_pil(self, seeds, indices):
         from concurrent.futures import ThreadPoolExecutor
 
-        seeds = rng.integers(0, 2**31, size=len(indices))
         with ThreadPoolExecutor(self.num_threads) as ex:
             samples = list(
                 ex.map(
@@ -182,9 +234,6 @@ class BatchLoader:
         }
         batch["prompt"] = [s["prompt"] for s in samples]
         batch["task"] = [s["task"] for s in samples]
-        if self.tokenizer is not None:
-            batch["token_ids"] = self.tokenizer(batch["prompt"], self.max_tokens)
-            batch["null_ids"] = self.tokenizer([""], self.max_tokens)
         return batch
 
     def __iter__(self) -> Iterator[dict]:
