@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--bf16-params", action="store_true",
+                    help="cast weights to bf16 (halves weight HBM traffic)")
     args = ap.parse_args()
 
     import sys
@@ -50,6 +52,11 @@ def main():
     init = jax.jit(lambda r: pipe.init_params(r, image_size=args.size), static_argnums=())
     params = init(rng)
     jax.block_until_ready(params)
+    if args.bf16_params:
+        from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
+
+        params = jax.jit(cast_params_bf16)(params)
+        jax.block_until_ready(params)
     log("params ready")
 
     b = args.batch

@@ -48,6 +48,9 @@ class UNetConfig:
     transformer_depth: int = 1
     context_dim: int = 768
     use_checkpoint: bool = False  # rematerialize blocks under grad
+    # FreeU (pipeline_prompt_diffusion.py:809-835): backbone/skip feature
+    # rescaling at the two deepest decoder levels; None disables.
+    freeu: Optional[Tuple[float, float, float, float]] = None  # (s1, s2, b1, b2)
 
     def encoder_plan(self):
         """Sequence of ('conv'|'res'|'down', out_ch, has_attn) per torch
@@ -80,6 +83,22 @@ class UNetConfig:
                 if has_up:
                     ds //= 2
         return plan
+
+
+def _freeu_filter(skip: jnp.ndarray, scale: float, threshold: int = 1) -> jnp.ndarray:
+    """Fourier low-frequency damping of skip features (diffusers
+    fourier_filter used by FreeU)."""
+    x = skip.astype(jnp.float32)
+    freq = jnp.fft.fftn(x, axes=(1, 2))
+    freq = jnp.fft.fftshift(freq, axes=(1, 2))
+    b, h, w, c = x.shape
+    ch, cw = h // 2, w // 2
+    yy = jnp.abs(jnp.arange(h) - ch)[:, None]
+    xx = jnp.abs(jnp.arange(w) - cw)[None, :]
+    mask = jnp.where((yy <= threshold) & (xx <= threshold), scale, 1.0)
+    freq = freq * mask[None, :, :, None]
+    freq = jnp.fft.ifftshift(freq, axes=(1, 2))
+    return jnp.real(jnp.fft.ifftn(freq, axes=(1, 2))).astype(skip.dtype)
 
 
 class UNetSD15(nn.Module):
@@ -150,6 +169,17 @@ class UNetSD15(nn.Module):
             skip = hs.pop()
             if ctrl is not None and not only_mid_control:
                 skip = skip + ctrl.pop().astype(skip.dtype)
+            if cfg.freeu is not None:
+                s1, s2, b1, b2 = cfg.freeu
+                mc = cfg.model_channels
+                if h.shape[-1] == 4 * mc:  # deepest decoder level
+                    half = h.shape[-1] // 2
+                    h = jnp.concatenate([h[..., :half] * b1, h[..., half:]], -1)
+                    skip = _freeu_filter(skip, s1)
+                elif h.shape[-1] == 2 * mc:
+                    half = h.shape[-1] // 2
+                    h = jnp.concatenate([h[..., :half] * b2, h[..., half:]], -1)
+                    skip = _freeu_filter(skip, s2)
             h = jnp.concatenate([h, skip], axis=-1)
             h = self._res(out_ch, f"output_blocks_{i}_res")(h, emb)
             if has_attn:

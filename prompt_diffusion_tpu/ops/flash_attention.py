@@ -33,7 +33,11 @@ _NEG_INF = float("-inf")
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
+    # inputs stay in their storage dtype (bf16 on the fast path): the MXU
+    # multiplies bf16 and ACCUMULATES in fp32 via preferred_element_type —
+    # the same numerics guarantee as the reference's fp32 softmax, at 1×
+    # MXU cost instead of the ~6 passes an fp32×fp32 matmul needs.
+    q = q_ref[0, 0]  # (block_q, D)
     block_q, d = q.shape
     nk = k_ref.shape[2]
     num_kb = nk // block_k
@@ -44,17 +48,17 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
         v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q,
-            k.astype(jnp.float32),
+            k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (block_q, block_k)
+        ) * scale  # (block_q, block_k) fp32
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        p = jnp.exp(s - m_new)  # fp32 softmax numerator
         correction = jnp.exp(m_i - m_new)
         l_new = l_i * correction + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * correction + jax.lax.dot_general(
-            p,
-            v.astype(jnp.float32),
+            p.astype(v.dtype),
+            v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -62,6 +62,33 @@ class PromptDiffusionSD15:
     def encode_prompt(self, params, token_ids: jnp.ndarray) -> jnp.ndarray:
         return self.text_encoder.apply(params["clip"], token_ids)["last_hidden_state"]
 
+    def encode_long_prompt(self, params, token_ids: jnp.ndarray, windows: int = 3,
+                           clip_skip: int = 0) -> jnp.ndarray:
+        """Long-prompt encoding via 77-token windowing (cldm/hack.py
+        `_hacked_clip_forward`, :23-68): ids (B, windows·75 usable tokens)
+        split into `windows` chunks, each wrapped with SOT/EOT, encoded
+        independently, hidden states concatenated along the sequence."""
+        from prompt_diffusion_tpu.data.tokenizer import EOT, SOT
+
+        b = token_ids.shape[0]
+        # strip the caller's SOT/EOT, keep raw content tokens
+        content = token_ids[:, 1:-1]
+        per = 75
+        need = windows * per
+        pad = jnp.full((b, max(0, need - content.shape[1])), EOT, jnp.int32)
+        content = jnp.concatenate([content[:, :need], pad], axis=1)[:, :need]
+        outs = []
+        layer = None if clip_skip == 0 else clip_skip + 1
+        for w in range(windows):
+            chunk = content[:, w * per : (w + 1) * per]
+            ids = jnp.concatenate(
+                [jnp.full((b, 1), SOT, jnp.int32), chunk, jnp.full((b, 1), EOT, jnp.int32)],
+                axis=1,
+            )
+            enc = self.text_encoder.apply(params["clip"], ids, output_hidden_layer=layer)
+            outs.append(enc["last_hidden_state"] if layer is None else enc["hidden"])
+        return jnp.concatenate(outs, axis=1)  # (B, windows·77, D)
+
     def decode_latents(self, params, latents: jnp.ndarray) -> jnp.ndarray:
         """latents (B,h,w,4) → images (B,H,W,3) in [0,1]."""
         z = latents / self.vae.config.scale_factor + self.vae.config.shift_factor

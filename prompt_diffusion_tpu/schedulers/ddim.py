@@ -125,3 +125,60 @@ def ddim_sample_loop(
     key0 = rng if stochastic else jax.random.PRNGKey(0)
     (x_final, _), _ = jax.lax.scan(body, (x_T, key0), jnp.arange(num_steps))
     return x_final
+
+
+def ddim_encode_loop(
+    eps_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    tables: DDIMTables,
+    t_enc: int,
+) -> jnp.ndarray:
+    """Deterministic DDIM inversion x_0 → x_{t_enc} (image editing,
+    ddim_hacked.py `encode` :236-275): run the update backwards through the
+    first `t_enc` DDIM steps."""
+    def body(x, i):
+        # forward through index i: treat alphas[i] as "next"
+        t = tables.timesteps[i]
+        t_b = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps = eps_fn(x, t_b)
+        a_next = tables.alphas[i].astype(x.dtype)
+        a_cur = tables.alphas_prev[i].astype(x.dtype)
+        x0_pred = (x - jnp.sqrt(1.0 - a_cur) * eps) / jnp.sqrt(a_cur)
+        x_next = jnp.sqrt(a_next) * x0_pred + jnp.sqrt(1.0 - a_next) * eps
+        return x_next, None
+
+    x, _ = jax.lax.scan(body, x0, jnp.arange(t_enc))
+    return x
+
+
+def stochastic_encode(
+    x0: jnp.ndarray, t_index: int, tables: DDIMTables, rng: jax.Array
+) -> jnp.ndarray:
+    """q_sample using the DDIM α sub-table (ddim_hacked.py
+    `stochastic_encode` :277-291)."""
+    a = tables.alphas[t_index]
+    noise = jax.random.normal(rng, x0.shape, dtype=x0.dtype)
+    return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+
+
+def ddim_decode_loop(
+    eps_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x_t: jnp.ndarray,
+    tables: DDIMTables,
+    t_start: int,
+) -> jnp.ndarray:
+    """Denoise from DDIM index t_start−1 down to 0 (ddim_hacked.py
+    `decode` :293-319) — the second half of edit-by-inversion."""
+    num = tables.num_steps
+
+    def body(x, i):
+        index = t_start - 1 - i
+        do = index >= 0
+        t = tables.timesteps[jnp.maximum(index, 0)]
+        t_b = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps = eps_fn(x, t_b)
+        x_prev, _ = ddim_step(x, eps, jnp.maximum(index, 0), tables)
+        return jnp.where(do, x_prev, x), None
+
+    x, _ = jax.lax.scan(body, x_t, jnp.arange(num))
+    return x

@@ -279,6 +279,38 @@ def controlnet_init_from_unet(unet_params: dict, controlnet_params: dict) -> dic
     return {"params": dst}
 
 
+def make_it_fit(imported, template):
+    """Cyclic weight resizing for shape-mismatched imports — the
+    `make_it_fit` surgery of ddpm.py:209-270 (used when loading a ckpt
+    into a model with widened/narrowed layers): every mismatched axis is
+    filled by cycling the source values; matching leaves pass through."""
+    import jax
+
+    def fit(src, dst_leaf):
+        src = np.asarray(src)
+        dst_shape = dst_leaf.shape
+        if src.shape == tuple(dst_shape):
+            return src
+        out = np.zeros(dst_shape, src.dtype)
+        idx = np.indices(dst_shape).reshape(len(dst_shape), -1).T
+        src_shape = np.asarray(src.shape)
+        for flat in idx:
+            out[tuple(flat)] = src[tuple(flat % src_shape)]
+        return out
+
+    def walk(imp, tmpl):
+        if isinstance(tmpl, dict):
+            return {
+                k: walk(imp.get(k), v) if isinstance(imp, dict) else None
+                for k, v in tmpl.items()
+            }
+        if imp is None:
+            return None
+        return fit(imp, tmpl)
+
+    return walk(imported, template)
+
+
 def validate_tree_shapes(imported: dict, reference: dict, path: str = "") -> list:
     """Compare two pytrees' leaf shapes; returns list of mismatch strings."""
     errs = []

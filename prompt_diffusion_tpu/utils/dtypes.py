@@ -47,3 +47,18 @@ def default_policy() -> DTypePolicy:
 def fp32_policy() -> DTypePolicy:
     """Full fp32 — used in tests for numerics golden checks."""
     return DTypePolicy(compute_dtype=jnp.float32)
+
+
+def cast_params_bf16(params, keep_fp32_names=("scale", "bias")):
+    """Cast parameter leaves to bf16 for inference (halves weight HBM
+    traffic); norm affine params stay fp32 (fp32-stat GroupNorm/LayerNorm
+    upcast them anyway)."""
+    import jax
+
+    def cast(path, x):
+        name = getattr(path[-1], "key", "") if path else ""
+        if name in keep_fp32_names or x.dtype != jnp.float32:
+            return x
+        return x.astype(jnp.bfloat16)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
