@@ -53,15 +53,36 @@ def main():
     from PIL import Image
 
     from prompt_diffusion_tpu.data.tokenizer import load_tokenizer
-    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
-    from prompt_diffusion_tpu.tools.torch_import import import_ldm_checkpoint
 
-    assert args.stack == "sd15", "sd3 batch generation wiring lands with SD3 weights import"
-
-    pipe = PromptDiffusionSD15.create()
-    params = import_ldm_checkpoint(args.ckpt)
     tok = load_tokenizer(args.tokenizer_assets)
-    gen = pipe.jit_generate()
+    if args.stack == "sd15":
+        from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
+        from prompt_diffusion_tpu.tools.torch_import import import_ldm_checkpoint
+        from prompt_diffusion_tpu.tools.diffusers_import import import_diffusers_folder
+
+        pipe = PromptDiffusionSD15.create()
+        params = (
+            import_diffusers_folder(args.ckpt)
+            if os.path.isdir(args.ckpt)
+            else import_ldm_checkpoint(args.ckpt)
+        )
+        gen = pipe.jit_generate()
+    else:
+        from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd3 import PromptDiffusionSD3
+        from prompt_diffusion_tpu.tools.diffusers_import import import_sd3_folder
+
+        pipe = PromptDiffusionSD3.create()
+        params = import_sd3_folder(args.ckpt)
+        sd3_gen = pipe.jit_generate()
+
+        def gen(params, key, ids, neg, pair, query, num_steps, guidance_scale,
+                control_scale=1.0):
+            pd = {"l": ids, "g": ids}
+            nd = {"l": neg, "g": neg}
+            return sd3_gen(params, key, pd, nd, query,
+                           pair[..., :3], pair[..., 3:],
+                           num_steps=num_steps, guidance_scale=guidance_scale,
+                           controlnet_conditioning_scale=control_scale)
 
     if args.dataset == "coco":
         from prompt_diffusion_tpu.data.coco_val import COCOValDataset

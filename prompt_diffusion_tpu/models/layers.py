@@ -50,7 +50,9 @@ class GroupNorm32(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(
+        from prompt_diffusion_tpu.ops.fused_group_norm import group_norm_auto
+
+        return group_norm_auto(
             x, self.num_groups, scale, bias, eps=self.eps, apply_silu=self.apply_silu
         )
 

@@ -133,7 +133,9 @@ class AdaLayerNormZero(nn.Module):
         if self.n_mods == 6:
             shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
             return h * (1 + scale_msa) + shift_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
-        shift, scale = mods  # AdaLayerNormContinuous-style (2 mods)
+        # AdaLayerNormContinuous chunk order is (scale, shift) — opposite of
+        # AdaLayerNormZero's shift-first (diffusers normalization.py)
+        scale, shift = mods
         return h * (1 + scale) + shift
 
 
@@ -244,12 +246,12 @@ class SD3Transformer(nn.Module):
                     hidden.dtype
                 )
 
-        # AdaLayerNormContinuous head
+        # AdaLayerNormContinuous head (scale-first chunk order)
         mods = nn.Dense(
             2 * cfg.hidden_size, dtype=pol.compute_dtype, param_dtype=jnp.float32,
             name="norm_out_proj",
         )(jax.nn.silu(emb))
-        shift, scale = jnp.split(mods[:, None, :], 2, axis=-1)
+        scale, shift = jnp.split(mods[:, None, :], 2, axis=-1)
         hidden = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                               dtype=pol.norm_dtype, name="norm_out")(hidden).astype(
             pol.compute_dtype

@@ -230,3 +230,100 @@ def import_diffusers_folder(root: str, unet_cfg: UNetConfig = UNetConfig()) -> d
         te_sd = {f"transformer.{k}": v for k, v in te_sd.items()}
         params["clip"] = {"params": apply_rules(te_sd, clip_key_rules())}
     return params
+
+
+# ---------------------------------------------------------------------------
+# SD3 (MMDiT) importers
+# ---------------------------------------------------------------------------
+
+def sd3_block_rules(i: int, context_pre_only: bool):
+    tb, fb = f"transformer_blocks.{i}", f"blocks_{i}"
+    rules = [
+        (f"{tb}.norm1.linear", f"{fb}/norm1/proj", "linear"),
+        (f"{tb}.norm1_context.linear", f"{fb}/norm1_context/proj", "linear"),
+        (f"{tb}.attn.to_q", f"{fb}/to_q", "linear"),
+        (f"{tb}.attn.to_k", f"{fb}/to_k", "linear"),
+        (f"{tb}.attn.to_v", f"{fb}/to_v", "linear"),
+        (f"{tb}.attn.add_q_proj", f"{fb}/add_q_proj", "linear"),
+        (f"{tb}.attn.add_k_proj", f"{fb}/add_k_proj", "linear"),
+        (f"{tb}.attn.add_v_proj", f"{fb}/add_v_proj", "linear"),
+        (f"{tb}.attn.to_out.0", f"{fb}/to_out", "linear"),
+        (f"{tb}.ff.net.0.proj", f"{fb}/ff_in", "linear"),
+        (f"{tb}.ff.net.2", f"{fb}/ff_out", "linear"),
+    ]
+    if not context_pre_only:
+        rules += [
+            (f"{tb}.attn.to_add_out", f"{fb}/to_add_out", "linear"),
+            (f"{tb}.ff_context.net.0.proj", f"{fb}/ff_context_in", "linear"),
+            (f"{tb}.ff_context.net.2", f"{fb}/ff_context_out", "linear"),
+        ]
+    return rules
+
+
+def sd3_transformer_rules(num_layers: int = 24):
+    rules = [
+        ("pos_embed.proj", "pos_embed/proj", "conv"),
+        ("time_text_embed.timestep_embedder.linear_1", "time_text_embed/timestep_fc1", "linear"),
+        ("time_text_embed.timestep_embedder.linear_2", "time_text_embed/timestep_fc2", "linear"),
+        ("time_text_embed.text_embedder.linear_1", "time_text_embed/text_fc1", "linear"),
+        ("time_text_embed.text_embedder.linear_2", "time_text_embed/text_fc2", "linear"),
+        ("context_embedder", "context_embedder", "linear"),
+        ("norm_out.linear", "norm_out_proj", "linear"),
+        ("proj_out", "proj_out", "linear"),
+    ]
+    for i in range(num_layers):
+        rules += sd3_block_rules(i, context_pre_only=(i == num_layers - 1))
+    return rules
+
+
+def sd3_controlnet_rules(num_layers: int = 12):
+    rules = [
+        ("pos_embed.proj", "pos_embed/proj", "conv"),
+        ("pos_embed_input.proj", "pos_embed_input", "conv"),
+        ("down_proj", "down_proj", "conv"),  # lives in its own module here
+        ("time_text_embed.timestep_embedder.linear_1", "time_text_embed/timestep_fc1", "linear"),
+        ("time_text_embed.timestep_embedder.linear_2", "time_text_embed/timestep_fc2", "linear"),
+        ("time_text_embed.text_embedder.linear_1", "time_text_embed/text_fc1", "linear"),
+        ("time_text_embed.text_embedder.linear_2", "time_text_embed/text_fc2", "linear"),
+        ("context_embedder", "context_embedder", "linear"),
+    ]
+    for i in range(num_layers):
+        rules += sd3_block_rules(i, context_pre_only=False)
+        rules.append((f"controlnet_blocks.{i}", f"controlnet_blocks_{i}", "linear"))
+    return rules
+
+
+def import_sd3_folder(root: str, num_layers: int = 24, controlnet_layers: int = 12) -> dict:
+    """SD3 diffusers folder (transformer/, controlnet/, vae/, text encoders)
+    → params for PromptDiffusionSD3 (promptdiffusioncontrolnet_sd3.py
+    checkpoint layout)."""
+    params = {}
+    tdir = os.path.join(root, "transformer")
+    if os.path.isdir(tdir):
+        sd = load_component_state(tdir)
+        params["transformer"] = {"params": apply_rules(sd, sd3_transformer_rules(num_layers))}
+    cdir = os.path.join(root, "controlnet")
+    if os.path.isdir(cdir):
+        sd = load_component_state(cdir)
+        tree = apply_rules(sd, sd3_controlnet_rules(controlnet_layers))
+        down = tree.pop("down_proj", None)
+        params["controlnet"] = {"params": tree}
+        if down is not None:
+            params["down_proj"] = {"params": {"down_proj": down}}
+    vdir = os.path.join(root, "vae")
+    if os.path.isdir(vdir):
+        sd = load_component_state(vdir)
+        tree = apply_rules(sd, diffusers_vae_rules())
+        _vae_attention(tree, sd, "encoder")
+        _vae_attention(tree, sd, "decoder")
+        params["vae"] = {"params": tree}
+    for te, name in (("text_encoder", "clip_l"), ("text_encoder_2", "clip_g")):
+        d = os.path.join(root, te)
+        if os.path.isdir(d):
+            sd = load_component_state(d)
+            sd = {f"transformer.{k}": v for k, v in sd.items()}
+            nl = max(
+                (int(k.split(".")[4]) for k in sd if ".encoder.layers." in k), default=11
+            ) + 1
+            params[name] = {"params": apply_rules(sd, clip_key_rules(nl))}
+    return params

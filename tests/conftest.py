@@ -32,3 +32,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon TPU shim calls jax.config.update("jax_platforms", "axon,cpu") at
+# jax import, overriding the env var — force the test platform back, last.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

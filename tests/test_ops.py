@@ -1,0 +1,71 @@
+"""Kernel op tests (CPU interpret mode): flash attention, fused GroupNorm."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prompt_diffusion_tpu.ops.flash_attention import _xla_attention, flash_attention
+from prompt_diffusion_tpu.ops.fused_group_norm import fused_group_norm, group_norm_auto
+from prompt_diffusion_tpu.ops.norms import group_norm
+
+
+def test_flash_attention_matches_xla():
+    rng = np.random.default_rng(0)
+    B, N, H, D = 2, 1024, 4, 40
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    ref = _xla_attention(q, k, v, D**-0.5)
+    got = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_attention_grad_matches():
+    rng = np.random.default_rng(1)
+    B, N, H, D = 1, 256, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    gf = jax.grad(lambda q: flash_attention(q, k, v).sum())(q)
+    gx = jax.grad(lambda q: _xla_attention(q, k, v, D**-0.5).sum())(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-4)
+
+
+def test_fused_group_norm_matches_reference():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    for silu in (False, True):
+        ref = group_norm(x, 8, s, b, apply_silu=silu)
+        got = fused_group_norm(x, s, b, 8, 1e-5, silu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g1 = jax.grad(lambda x: fused_group_norm(x, s, b, 8, 1e-5, True).sum())(x)
+    g2 = jax.grad(lambda x: group_norm(x, 8, s, b, apply_silu=True).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_group_norm_auto_dispatch_cpu_uses_jnp():
+    # on CPU the auto path must take the jnp branch (no interpret overhead
+    # in production code paths) and produce identical results
+    x = jnp.ones((1, 4, 4, 8))
+    s, b = jnp.ones((8,)), jnp.zeros((8,))
+    out = group_norm_auto(x, 4, s, b)
+    np.testing.assert_allclose(np.asarray(out), np.zeros_like(np.asarray(out)), atol=1e-5)
+
+
+def test_flash_attention_bf16_accumulation():
+    """bf16 inputs with fp32 accumulation must track an fp32 reference."""
+    rng = np.random.default_rng(3)
+    B, N, H, D = 1, 1024, 2, 64
+    qf = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    kf = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    vf = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    ref = _xla_attention(jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf), D**-0.5)
+    got = flash_attention(
+        jnp.asarray(qf, jnp.bfloat16), jnp.asarray(kf, jnp.bfloat16),
+        jnp.asarray(vf, jnp.bfloat16),
+    )
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(ref)).max()
+    assert err < 0.03  # bf16 input rounding only, no fp32-matmul drift
