@@ -178,11 +178,21 @@ class CrossAttention(nn.Module):
         v = dense("to_v")(context)
         b, nq = q.shape[:2]
         nk = k.shape[1]
-        q = q.reshape(b, nq, self.heads, self.dim_head)
-        k = k.reshape(b, nk, self.heads, self.dim_head)
-        v = v.reshape(b, nk, self.heads, self.dim_head)
-        out = dot_product_attention(q, k, v, softmax_dtype=self.policy.softmax_dtype)
-        out = out.reshape(b, nq, inner)
+        from prompt_diffusion_tpu.ops.attention import _flash_eligible
+        from prompt_diffusion_tpu.ops.flash_attention import flash_attention_packed
+
+        if _flash_eligible(q, k, None):
+            # packed-heads kernel: consumes the projection layout directly,
+            # no (B,N,H,D)↔(B,H,N,D) copies
+            out = flash_attention_packed(q, k, v, self.heads)
+        else:
+            qh = q.reshape(b, nq, self.heads, self.dim_head)
+            kh = k.reshape(b, nk, self.heads, self.dim_head)
+            vh = v.reshape(b, nk, self.heads, self.dim_head)
+            out = dot_product_attention(
+                qh, kh, vh, softmax_dtype=self.policy.softmax_dtype, use_flash=False
+            )
+            out = out.reshape(b, nq, inner)
         return nn.Dense(
             out_dim, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="to_out"
         )(out)

@@ -156,3 +156,107 @@ def flash_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_attention(q, k, v, float(scale))
+
+
+# ---------------------------------------------------------------------------
+# packed-heads variant: (B, N, H·D) in/out — no transposes
+# ---------------------------------------------------------------------------
+#
+# The BNHD path costs four (B,N,H,D)↔(B,H,N,D) layout copies per attention
+# site (~11 ms/step of `copy` fusions in the 512² UNet trace). This kernel
+# consumes the projection output directly: heads are column slices of the
+# packed H·D axis, processed in an unrolled loop inside one program while
+# the q/k/v blocks stay VMEM-resident.
+
+def _fa_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                      num_heads: int, block_k: int):
+    q = q_ref[0]  # (block_q, H*D)
+    nk = k_ref.shape[1]
+    d = q.shape[-1] // num_heads
+    num_kb = nk // block_k
+
+    for h in range(num_heads):
+        qh = q[:, h * d : (h + 1) * d]
+
+        def body(kb, carry):
+            acc, m_i, l_i = carry
+            kh = k_ref[0, pl.ds(kb * block_k, block_k), h * d : (h + 1) * d]
+            vh = v_ref[0, pl.ds(kb * block_k, block_k), h * d : (h + 1) * d]
+            s = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_i - m_new)
+            l_new = l_i * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jax.lax.dot_general(
+                p.astype(vh.dtype), vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((q.shape[0], d), jnp.float32)
+        m0 = jnp.full((q.shape[0], 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+        acc, _, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+        o_ref[0, :, h * d : (h + 1) * d] = (acc / l_i).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_packed(q, k, v, num_heads, scale):
+    return _packed_forward(q, k, v, num_heads, scale)
+
+
+def _packed_forward(q, k, v, num_heads, scale):
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    block_q = _pick_block(nq, 512)
+    block_k = _pick_block(nk, 512)
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        functools.partial(_fa_packed_kernel, scale=scale, num_heads=num_heads,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
+        grid=(b, nq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, qb: (i, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda i, qb: (i, qb, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _packed_ref(q, k, v, num_heads, scale):
+    b, nq, hd = q.shape
+    d = hd // num_heads
+    qs = q.reshape(b, nq, num_heads, d)
+    ks = k.reshape(b, k.shape[1], num_heads, d)
+    vs = v.reshape(b, v.shape[1], num_heads, d)
+    return _xla_attention(qs, ks, vs, scale).reshape(b, nq, hd)
+
+
+def _packed_fwd(q, k, v, num_heads, scale):
+    return _packed_forward(q, k, v, num_heads, scale), (q, k, v)
+
+
+def _packed_bwd(num_heads, scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _packed_ref(q_, k_, v_, num_heads, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def flash_attention_packed(q, k, v, num_heads: int, scale: Optional[float] = None):
+    """Flash attention over packed (B, N, H·D) tensors — the projection
+    layout — avoiding all head transposes."""
+    if scale is None:
+        scale = (q.shape[-1] // num_heads) ** -0.5
+    return _flash_packed(q, k, v, num_heads, float(scale))
