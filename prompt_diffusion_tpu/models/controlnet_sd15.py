@@ -15,7 +15,7 @@ copy of the UNet encoder with
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,26 +80,35 @@ class ControlNetSD15(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,  # (B, H, W, 4) noisy latents
-        timesteps: jnp.ndarray,  # (B,)
-        example_pair: jnp.ndarray,  # (B, 8H, 8W, 6) pixel-space hint pair
-        query: jnp.ndarray,  # (B, 8H, 8W, 3) pixel-space query condition
-        context: jnp.ndarray,  # (B, L, context_dim)
+        x: Optional[jnp.ndarray] = None,  # (B, H, W, 4) noisy latents
+        timesteps: Optional[jnp.ndarray] = None,  # (B,)
+        example_pair: Optional[jnp.ndarray] = None,  # (B, 8H, 8W, 6) hint pair
+        query: Optional[jnp.ndarray] = None,  # (B, 8H, 8W, 3) query condition
+        context: Optional[jnp.ndarray] = None,  # (B, L, context_dim)
         conditioning_scale: float | jnp.ndarray = 1.0,
+        guided_hint: Optional[jnp.ndarray] = None,  # precomputed hint sum
+        hint_only: bool = False,
     ) -> Tuple[jnp.ndarray, ...]:
+        """Full control stack, or — with `hint_only=True` — just the summed
+        hint embedding. The hint is t- and x-independent (cldm/cldm.py:
+        302-312), so samplers hoist it out of the denoise loop and pass it
+        back via `guided_hint` (saves ~8 hint convs × 2 encoders × steps)."""
         cfg = self.config
         pol = self.policy
+
+        if guided_hint is None:
+            pair_hint = HintEncoder(cfg.model_channels, pol, name="input_hint_block")(example_pair)
+            query_hint = HintEncoder(cfg.model_channels, pol, name="input_cond_block")(query)
+            guided_hint = pair_hint + query_hint
+        if hint_only:
+            return guided_hint
+
         x = x.astype(pol.compute_dtype)
         context = context.astype(pol.compute_dtype)
-
         t_emb = timestep_embedding(timesteps, cfg.model_channels)
         emb = TimeEmbedMLP(embed_dim=cfg.model_channels * 4, policy=pol, name="time_embed")(
             t_emb.astype(pol.compute_dtype)
         )
-
-        pair_hint = HintEncoder(cfg.model_channels, pol, name="input_hint_block")(example_pair)
-        query_hint = HintEncoder(cfg.model_channels, pol, name="input_cond_block")(query)
-        guided_hint = pair_hint + query_hint
 
         enc_plan, _, mid_ch, _ = cfg.encoder_plan()
 

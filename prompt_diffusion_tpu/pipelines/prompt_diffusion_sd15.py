@@ -163,12 +163,17 @@ class PromptDiffusionSD15:
         else:
             ctrl_scale = control_scale
 
+        # the hint embedding is t/x-independent — compute once, not 50×
+        hint2 = self.controlnet.apply(
+            params["controlnet"], example_pair=pair2, query=query2, hint_only=True
+        )
+
         def eps_fn(x, t_b):
             x2 = jnp.concatenate([x] * 2, axis=0)
             t2 = jnp.concatenate([t_b] * 2, axis=0)
             control = self.controlnet.apply(
-                params["controlnet"], x2, t2, pair2, query2, context2,
-                conditioning_scale=ctrl_scale,
+                params["controlnet"], x2, t2, context=context2,
+                conditioning_scale=ctrl_scale, guided_hint=hint2,
             )
             eps2 = self.unet.apply(params["unet"], x2, t2, context2, control=control)
             eps_uncond, eps_cond = jnp.split(eps2, 2, axis=0)

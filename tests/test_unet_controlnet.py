@@ -33,7 +33,7 @@ def models_and_params():
     uparams = jax.jit(unet.init)(rng, x, t, ctx)
     cparams = jax.jit(cnet.init)(rng, x, t, pair, query, ctx)
     unet_apply = jax.jit(unet.apply, static_argnames=("only_mid_control",))
-    cnet_apply = jax.jit(cnet.apply)
+    cnet_apply = jax.jit(cnet.apply, static_argnames=("hint_only",))
     return unet_apply, uparams, cnet_apply, cparams
 
 
@@ -87,6 +87,22 @@ def test_controlled_unet_zero_init_control_is_noop(models_and_params):
     out_plain = unet_apply(uparams, x, t, ctx)
     out_ctrl = unet_apply(uparams, x, t, ctx, control=ctrl)
     np.testing.assert_allclose(np.asarray(out_ctrl), np.asarray(out_plain), atol=1e-6)
+
+
+def test_hoisted_hint_equivalence(models_and_params):
+    """controlnet(pair, query) == controlnet(guided_hint=encode(pair, query))."""
+    _, _, cnet_apply, cparams = models_and_params
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 4)), jnp.float32)
+    t = jnp.asarray([42])
+    ctx = jnp.asarray(rng.normal(size=(1, 7, 64)), jnp.float32)
+    pair = jnp.asarray(rng.normal(size=(1, 128, 128, 6)), jnp.float32)
+    query = jnp.asarray(rng.normal(size=(1, 128, 128, 3)), jnp.float32)
+    full = cnet_apply(cparams, x, t, pair, query, ctx)
+    hint = cnet_apply(cparams, example_pair=pair, query=query, hint_only=True)
+    hoisted = cnet_apply(cparams, x, t, context=ctx, guided_hint=hint)
+    for a, b in zip(full, hoisted):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_only_mid_control(models_and_params):
