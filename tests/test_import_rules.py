@@ -70,6 +70,52 @@ def test_unet_rules_cover_init_tree():
     assert not missing, sorted(missing)[:10]
 
 
+def test_sd3_transformer_rules_cover_init_tree():
+    from prompt_diffusion_tpu.models.mmdit_sd3 import MMDiTConfig, SD3Transformer
+    from prompt_diffusion_tpu.tools.diffusers_import import sd3_transformer_rules
+
+    cfg = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4, num_layers=2,
+                      attention_head_dim=16, num_attention_heads=4,
+                      joint_attention_dim=64, caption_projection_dim=64,
+                      pooled_projection_dim=64, out_channels=4, pos_embed_max_size=16)
+    model = SD3Transformer(config=cfg, policy=fp32_policy())
+    params = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)), jnp.zeros((1, 10, 64)),
+        jnp.zeros((1, 64)),
+    )["params"]
+    tree_paths = _param_paths(params)
+    rule_leaf_paths = set()
+    for _, fp, kind in sd3_transformer_rules(num_layers=2):
+        rule_leaf_paths |= {f"{fp}/kernel", f"{fp}/bias"}
+    missing = {p for p in tree_paths if p not in rule_leaf_paths}
+    assert not missing, sorted(missing)[:10]
+
+
+def test_sd3_controlnet_rules_cover_init_tree():
+    from prompt_diffusion_tpu.models.controlnet_sd3 import SD3ControlNet
+    from prompt_diffusion_tpu.models.mmdit_sd3 import MMDiTConfig
+    from prompt_diffusion_tpu.tools.diffusers_import import sd3_controlnet_rules
+
+    cfg = MMDiTConfig(sample_size=8, patch_size=2, in_channels=4, num_layers=2,
+                      attention_head_dim=16, num_attention_heads=4,
+                      joint_attention_dim=64, caption_projection_dim=64,
+                      pooled_projection_dim=64, out_channels=4, pos_embed_max_size=16)
+    model = SD3ControlNet(config=cfg, policy=fp32_policy())
+    lat = jnp.zeros((1, 8, 8, 4))
+    params = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), lat, jnp.zeros((1,)), lat, lat,
+        jnp.zeros((1, 10, 64)), jnp.zeros((1, 64)),
+    )["params"]
+    tree_paths = _param_paths(params)
+    rule_leaf_paths = set()
+    for _, fp, kind in sd3_controlnet_rules(num_layers=2):
+        rule_leaf_paths |= {f"{fp}/kernel", f"{fp}/bias"}
+        # pos_embed_input maps onto a bare Conv param node
+    missing = {p for p in tree_paths if p not in rule_leaf_paths}
+    assert not missing, sorted(missing)[:10]
+
+
 def test_controlnet_rules_cover_init_tree():
     cnet = ControlNetSD15(config=CFG, hint_channels=6, policy=fp32_policy())
     params = jax.eval_shape(
