@@ -64,13 +64,17 @@ def dot_product_attention(
 def _flash_eligible(q, k, mask) -> bool:
     if mask is not None:
         return False
+    nq, nk = q.shape[1], k.shape[1]
+    return _kernel_eligible(nq) and nk >= 1024
+
+
+def _kernel_eligible(nq: int) -> bool:
+    """Pallas attention pays off for long query sequences (self-attn at
+    ds1/ds2, and cross-attn whose fp32 logits XLA would round-trip to HBM)."""
     try:
         backend = jax.default_backend()
     except Exception:
         return False
     if backend not in ("tpu", "axon"):
         return False
-    nq, nk = q.shape[1], k.shape[1]
-    # Blockwise pays off once the logits matrix stops fitting in VMEM;
-    # cross-attention with 77-token kv stays on the XLA path.
-    return nq >= 1024 and nk >= 1024
+    return nq >= 1024
