@@ -82,7 +82,7 @@ def main(argv=None):
     loader = dm.tuning_loader("train", args.batch_size,
                               num_supports=args.num_supports, seed=args.seed)
 
-    step_fn = jax.jit(make_train_step(pipe, cfg, tx), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(pipe, cfg, tx, mesh=mesh), donate_argnums=(0,))
     mlog = MetricLogger(args.logdir)
     bsh = batch_sharding(mesh)
     step_rng = jax.random.PRNGKey(args.seed + 1)

@@ -88,3 +88,18 @@ def shard_params(params, mesh: Mesh, min_size: int = 2**16):
 def apply_sharding(tree, shardings):
     """Device-put a pytree onto its shardings."""
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+def make_param_gather(mesh: Optional[Mesh]):
+    """gather(tree): constrain every leaf to replicated — use at train-step
+    entry on fsdp-sharded params (ZeRO style: sharded at rest, all-gathered
+    for compute). The constraint's VJP is a reduce-scatter, so grads come
+    out fsdp-sharded to match the optimizer state; batch-sharded activations
+    then never meet fsdp-sharded weights inside the model, which otherwise
+    triggers XLA's involuntary-full-rematerialization resharding."""
+    if mesh is None:
+        return lambda tree: tree
+    rep = NamedSharding(mesh, P())
+    return lambda tree: jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, rep), tree
+    )

@@ -93,7 +93,7 @@ def init_train_state(
     )
 
 
-def make_train_step(pipe: PromptDiffusionSD15, cfg: SD15TrainConfig, tx):
+def make_train_step(pipe: PromptDiffusionSD15, cfg: SD15TrainConfig, tx, mesh=None):
     """Returns step(state, frozen, batch, rng) → (state, metrics).
 
     batch dict (all NHWC, pixel values in [-1,1]):
@@ -102,12 +102,25 @@ def make_train_step(pipe: PromptDiffusionSD15, cfg: SD15TrainConfig, tx):
       example_pair (B,H,W,6) condition‖image support pair
       token_ids    (B,77) int32 prompt ids
       null_ids     (1,77) int32 ids of the empty prompt (uncond)
+
+    With `mesh`, params are gathered to replicated at step entry (ZeRO
+    style: fsdp-sharded at rest, all-gathered for compute). The gather's
+    VJP is a reduce-scatter, so gradients come out fsdp-sharded to match
+    the optimizer state — and batch-sharded activations never collide
+    with fsdp-sharded weights inside the model (which otherwise triggers
+    XLA's "involuntary full rematerialization" resharding).
     """
     sched = pipe.schedule
     T = sched.num_timesteps
     d = cfg.drop_rate
 
+    from prompt_diffusion_tpu.parallel.mesh import make_param_gather
+
+    gather = make_param_gather(mesh)
+
     def loss_fn(trainable, frozen, batch, rng):
+        trainable = gather(trainable)
+        frozen = gather(frozen)
         unet_params = trainable.get("unet", frozen["unet"])
         params = {
             "unet": unet_params,

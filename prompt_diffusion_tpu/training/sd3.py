@@ -73,7 +73,7 @@ def init_sd3_train_state(cfg: SD3TrainConfig, params, tx) -> SD3TrainState:
     )
 
 
-def make_sd3_train_step(pipe: PromptDiffusionSD3, cfg: SD3TrainConfig, tx):
+def make_sd3_train_step(pipe: PromptDiffusionSD3, cfg: SD3TrainConfig, tx, mesh=None):
     """step(state, frozen, batch, rng) → (state, metrics).
 
     batch (NHWC, pixels in [-1,1]):
@@ -83,12 +83,18 @@ def make_sd3_train_step(pipe: PromptDiffusionSD3, cfg: SD3TrainConfig, tx):
       support_image(B,H,W,3) support image
       context      (B,L,joint_dim) precomputed joint text embedding
       pooled       (B,pooled_dim) precomputed pooled embedding
+
+    With `mesh`, params are ZeRO-gathered at step entry (see
+    parallel.mesh.make_param_gather).
     """
+    from prompt_diffusion_tpu.parallel.mesh import make_param_gather
+
+    gather = make_param_gather(mesh)
     sched = FlowMatchSchedule.create(shift=cfg.shift)
     T = sched.num_train_timesteps
 
     def loss_fn(trainable, frozen, batch, rng):
-        params = {**frozen, **trainable}
+        params = {**gather(frozen), **gather(trainable)}
         r_enc, r_t, r_noise, r_cond, r_pair = jax.random.split(rng, 5)
 
         z = pipe._encode_vae(params, batch["image"], r_enc)

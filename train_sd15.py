@@ -148,7 +148,7 @@ def main(argv=None):
         shard_id=jax.process_index(), num_shards=jax.process_count(),
     )
 
-    step_fn = jax.jit(make_train_step(pipe, cfg, tx), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(pipe, cfg, tx, mesh=mesh), donate_argnums=(0,))
     imlog = ImageLogger(args.logdir, freq=args.image_log_every)
     mlog = MetricLogger(args.logdir)
     bsh = batch_sharding(mesh)

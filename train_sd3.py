@@ -137,7 +137,7 @@ def main(argv=None):
                          num_shards=jax.process_count())
 
     encode_text = jax.jit(lambda p, ids: pipe.encode_prompt(p, ids, ids))
-    step_fn = jax.jit(make_sd3_train_step(pipe, cfg, tx), donate_argnums=(0,))
+    step_fn = jax.jit(make_sd3_train_step(pipe, cfg, tx, mesh=mesh), donate_argnums=(0,))
     mlog = MetricLogger(args.logdir)
     bsh = batch_sharding(mesh)
     step_rng = jax.random.PRNGKey(args.seed + 1)
