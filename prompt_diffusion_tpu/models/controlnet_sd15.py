@@ -136,7 +136,8 @@ class ControlNetSD15(nn.Module):
         )
 
         scale = conditioning_scale
-        if isinstance(scale, (int, float)):
-            return tuple(o * scale for o in outs)
-        # per-tap scales, e.g. guess-mode decay 0.825^(12−i) (notebook cell 5)
-        return tuple(o * s for o, s in zip(outs, scale))
+        if isinstance(scale, (tuple, list)) or getattr(scale, "ndim", None) == 1:
+            # per-tap scales, e.g. guess-mode decay 0.825^(12−i) (notebook cell 5)
+            return tuple(o * s for o, s in zip(outs, scale))
+        # one scalar (python or traced) for every tap
+        return tuple(o * scale for o in outs)

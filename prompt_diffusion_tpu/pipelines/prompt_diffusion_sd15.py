@@ -168,6 +168,18 @@ class PromptDiffusionSD15:
             params["controlnet"], example_pair=pair2, query=query2, hint_only=True
         )
 
+        # Guess mode gives the *uncond* CFG branch no control at all
+        # (notebook cell 5: un_cond["c_concat"] = None if guess_mode;
+        # diffusers pipeline :370-378). Zeroing the additive zero-conv taps
+        # for the uncond half (first half of the double batch) is exactly
+        # control=None in the reference's skip-add.
+        if guess_mode:
+            branch_mask = jnp.concatenate(
+                [jnp.zeros((b, 1, 1, 1), jnp.float32), jnp.ones((b, 1, 1, 1), jnp.float32)]
+            )
+        else:
+            branch_mask = None
+
         def eps_fn(x, t_b):
             x2 = jnp.concatenate([x] * 2, axis=0)
             t2 = jnp.concatenate([t_b] * 2, axis=0)
@@ -175,6 +187,8 @@ class PromptDiffusionSD15:
                 params["controlnet"], x2, t2, context=context2,
                 conditioning_scale=ctrl_scale, guided_hint=hint2,
             )
+            if branch_mask is not None:
+                control = tuple(c * branch_mask.astype(c.dtype) for c in control)
             eps2 = self.unet.apply(params["unet"], x2, t2, context2, control=control)
             eps_uncond, eps_cond = jnp.split(eps2, 2, axis=0)
             return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
@@ -202,10 +216,14 @@ class PromptDiffusionSD15:
         return self.decode_latents(params, x)
 
     def jit_generate(self, donate: bool = False):
-        """Jitted generate with the loop-shaping args static."""
+        """Jitted generate with ONLY the loop-shaping args static.
+
+        guidance_scale / control_scale fold fine as traced scalars — a CFG
+        or strength change must NOT pay a recompile (the reference changes
+        them per request, notebook cell 5)."""
         return jax.jit(
             functools.partial(self.generate),
-            static_argnames=("num_steps", "guidance_scale", "control_scale", "eta", "guess_mode"),
+            static_argnames=("num_steps", "eta", "guess_mode"),
         )
 
     # ---- init -------------------------------------------------------------

@@ -162,9 +162,10 @@ class PromptDiffusionSD3:
     def jit_generate(self):
         import functools
 
+        # guidance/conditioning scales are traced — changing them must not
+        # recompile; num_steps shapes the scan and shift feeds the host-side
+        # sigma table, so those stay static.
         return jax.jit(
             self.generate,
-            static_argnames=(
-                "num_steps", "guidance_scale", "controlnet_conditioning_scale", "shift"
-            ),
+            static_argnames=("num_steps", "shift"),
         )

@@ -50,6 +50,12 @@ class SD15TrainConfig:
     accum_steps: int = 1
     weight_decay: float = 0.01
     max_grad_norm: float = 1.0  # diffusers trainer clips at 1.0 (:1116-1118)
+    # LambdaLinear warmup (ldm/lr_scheduler.py:81-97 via models/cldm_v15.yaml:21-28:
+    # warm_up_steps [10000], f_start 1e-6, f_max 1.0, f_min 1.0)
+    warm_up_steps: int = 10_000
+    lr_f_start: float = 1e-6
+    lr_f_max: float = 1.0
+    lr_f_min: float = 1.0
 
 
 def _unet_decoder_mask(unet_params):
@@ -63,10 +69,24 @@ def _unet_decoder_mask(unet_params):
     return jax.tree_util.tree_map_with_path(mask_path, unet_params)
 
 
+def lr_schedule(cfg: SD15TrainConfig) -> optax.Schedule:
+    """The reference's LambdaLinear warmup (unity after warmup in the PD
+    config since f_min == f_max == 1)."""
+    from prompt_diffusion_tpu.training.lr_schedules import lambda_linear
+
+    return lambda_linear(
+        cfg.learning_rate,
+        warm_up_steps=cfg.warm_up_steps,
+        f_start=cfg.lr_f_start,
+        f_max=cfg.lr_f_max,
+        f_min=cfg.lr_f_min,
+    )
+
+
 def make_optimizer(cfg: SD15TrainConfig, trainable_template) -> optax.GradientTransformation:
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+        optax.adamw(lr_schedule(cfg), weight_decay=cfg.weight_decay),
     )
     if not cfg.sd_locked and "unet" in trainable_template:
         mask = {
@@ -168,6 +188,7 @@ def make_train_step(pipe: PromptDiffusionSD15, cfg: SD15TrainConfig, tx, mesh=No
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            "lr": lr_schedule(cfg)(state.step),
             "step": state.step,
         }
         return TrainState(state.step + 1, trainable, opt_state, ema), metrics

@@ -120,3 +120,17 @@ def test_ddim_step_perfect_model_recovers_x0():
     a0 = float(tables.alphas_prev[0])
     resid = np.asarray(x) - np.sqrt(a0) * np.asarray(x0)
     assert np.abs(resid).max() <= np.sqrt(1 - a0) * 5.0
+
+
+def test_lambda_linear_warmup_wired_into_optimizer():
+    """LambdaLinear warmup (ldm/lr_scheduler.py:81-97, cldm_v15.yaml:21-28)
+    must actually drive the optimizer (VERDICT missing #6)."""
+    import numpy as np
+    from prompt_diffusion_tpu.training.sd15 import SD15TrainConfig, lr_schedule
+
+    cfg = SD15TrainConfig(learning_rate=1e-4, warm_up_steps=100)
+    sched = lr_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(1e-4 * 1e-6, rel=1e-3)
+    assert float(sched(50)) == pytest.approx(1e-4 * 0.5, rel=1e-2)
+    assert float(sched(100)) == pytest.approx(1e-4, rel=1e-6)
+    assert float(sched(10_000)) == pytest.approx(1e-4, rel=1e-6)
