@@ -42,6 +42,9 @@ def parse_args():
                    help="also dump raw PNGs under <out>/fid/<task>/")
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--tokenizer-assets", default=None)
+    p.add_argument("--t5-assets", default=None,
+                   help="dir with tokenizer.json or spiece.model; enables the "
+                        "T5 branch of the SD3 triple text encoding")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -66,19 +69,40 @@ def main():
             if os.path.isdir(args.ckpt)
             else import_ldm_checkpoint(args.ckpt)
         )
-        gen = pipe.jit_generate()
+        _sd15_gen = pipe.jit_generate()
+
+        def gen(params, key, ids, neg, pair, query, num_steps, guidance_scale,
+                control_scale=1.0, prompts=None, neg_prompts=None):
+            return _sd15_gen(params, key, ids, neg, pair, query,
+                             num_steps=num_steps, guidance_scale=guidance_scale,
+                             control_scale=control_scale)
     else:
+        from prompt_diffusion_tpu.data.t5_tokenizer import load_t5_tokenizer
         from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd3 import PromptDiffusionSD3
         from prompt_diffusion_tpu.tools.diffusers_import import import_sd3_folder
 
-        pipe = PromptDiffusionSD3.create()
+        t5_tok = load_t5_tokenizer(args.t5_assets)
+        t5 = None
+        if t5_tok is not None:
+            from prompt_diffusion_tpu.models.t5_text import T5Encoder
+
+            t5 = T5Encoder()
+        pipe = PromptDiffusionSD3.create(t5=t5)
         params = import_sd3_folder(args.ckpt)
+        if t5 is not None and "t5" not in params:
+            raise SystemExit(
+                "--t5-assets given but the checkpoint folder has no "
+                "text_encoder_3/ — T5 weights are required for the T5 branch"
+            )
         sd3_gen = pipe.jit_generate()
 
         def gen(params, key, ids, neg, pair, query, num_steps, guidance_scale,
-                control_scale=1.0):
+                control_scale=1.0, prompts=None, neg_prompts=None):
             pd = {"l": ids, "g": ids}
             nd = {"l": neg, "g": neg}
+            if t5_tok is not None:
+                pd["t5"] = jnp.asarray(t5_tok(prompts))
+                nd["t5"] = jnp.asarray(t5_tok(neg_prompts or [""] * len(prompts)))
             return sd3_gen(params, key, pd, nd, query,
                            pair[..., :3], pair[..., 3:],
                            num_steps=num_steps, guidance_scale=guidance_scale,
@@ -134,7 +158,7 @@ def main():
             rng, sub = jax.random.split(rng)
             imgs = gen(params, sub, ids, neg, jnp.asarray(pair), jnp.asarray(query),
                        num_steps=args.steps, guidance_scale=args.cfg,
-                       control_scale=args.control_scale)
+                       control_scale=args.control_scale, prompts=list(prompts))
             arr = (np.asarray(imgs) * 255).astype(np.uint8)
             for name, im in zip(names, arr):
                 Image.fromarray(im).save(os.path.join(args.out_dir, f"{name}.png"))

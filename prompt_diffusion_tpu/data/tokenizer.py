@@ -77,6 +77,10 @@ class CLIPTokenizer:
     def __init__(self, vocab_path: str, merges_path: str):
         with open(vocab_path) as f:
             self.encoder = json.load(f)
+        # real CLIP assets put these at 49406/49407; synthetic test vocabs
+        # may not — always resolve from the vocab itself
+        self.sot = self.encoder.get("<|startoftext|>", SOT)
+        self.eot = self.encoder.get("<|endoftext|>", EOT)
         opener = gzip.open if merges_path.endswith(".gz") else open
         with opener(merges_path, "rt") as f:
             merges = f.read().split("\n")
@@ -129,9 +133,9 @@ class CLIPTokenizer:
         return ids
 
     def __call__(self, texts: Sequence[str], max_length: int = MAX_LEN) -> np.ndarray:
-        out = np.full((len(texts), max_length), EOT, dtype=np.int32)
+        out = np.full((len(texts), max_length), self.eot, dtype=np.int32)
         for i, t in enumerate(texts):
-            ids = [SOT] + self.encode_text(t)[: max_length - 2] + [EOT]
+            ids = [self.sot] + self.encode_text(t)[: max_length - 2] + [self.eot]
             out[i, : len(ids)] = ids
         return out
 
@@ -162,10 +166,20 @@ class HashTokenizer:
 
 
 def load_tokenizer(assets_dir: Optional[str] = None):
-    """CLIPTokenizer when vocab assets exist, else HashTokenizer."""
+    """CLIPTokenizer when vocab assets exist, else HashTokenizer (with a
+    loud warning — hash ids are NEVER compatible with pretrained CLIP)."""
     if assets_dir:
         vocab = os.path.join(assets_dir, "vocab.json")
         merges = os.path.join(assets_dir, "merges.txt")
         if os.path.exists(vocab) and os.path.exists(merges):
             return CLIPTokenizer(vocab, merges)
+    import warnings
+
+    warnings.warn(
+        "No CLIP vocab assets found"
+        + (f" under {assets_dir!r}" if assets_dir else " (no assets_dir given)")
+        + " — falling back to HashTokenizer. Hash ids are deterministic but "
+        "NOT CLIP BPE: do not use with pretrained weights.",
+        stacklevel=2,
+    )
     return HashTokenizer()

@@ -56,15 +56,21 @@ class MMDiTConfig:
         return self.num_attention_heads * self.attention_head_dim
 
 
-def _2d_sincos_pos_embed(dim: int, grid: int) -> np.ndarray:
-    """Fixed 2D sin-cos position embedding table (grid², dim)."""
+def _2d_sincos_pos_embed(dim: int, grid: int, base_size: int) -> np.ndarray:
+    """Fixed 2D sin-cos position embedding table (grid², dim).
+
+    Positions are scaled by base_size/grid (base_size = sample_size /
+    patch_size) exactly like diffusers' get_2d_sincos_pos_embed builds the
+    persistent `pos_embed.pos_embed` buffer SD3 checkpoints carry — the
+    table is recomputed here, so the scaling must match or every real
+    checkpoint sees wrong positions."""
     def _1d(d, pos):
         omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
         omega = 1.0 / 10000**omega
         out = np.einsum("m,d->md", pos.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    coords = np.arange(grid, dtype=np.float64)
+    coords = np.arange(grid, dtype=np.float64) / (grid / base_size)
     gy, gx = np.meshgrid(coords, coords, indexing="ij")
     emb = np.concatenate([_1d(dim // 2, gx), _1d(dim // 2, gy)], axis=1)
     return emb.astype(np.float32)  # (grid*grid, dim)
@@ -87,7 +93,9 @@ class PatchEmbed(nn.Module):
         )(x)
         gh, gw = h // p, w // p
         x = x.reshape(b, gh * gw, cfg.hidden_size)
-        table = _2d_sincos_pos_embed(cfg.hidden_size, cfg.pos_embed_max_size)
+        table = _2d_sincos_pos_embed(
+            cfg.hidden_size, cfg.pos_embed_max_size, cfg.sample_size // cfg.patch_size
+        )
         table = table.reshape(cfg.pos_embed_max_size, cfg.pos_embed_max_size, -1)
         top = (cfg.pos_embed_max_size - gh) // 2
         left = (cfg.pos_embed_max_size - gw) // 2
@@ -241,8 +249,10 @@ class SD3Transformer(nn.Module):
                 cfg, pol, context_pre_only=pre_only, name=f"blocks_{i}"
             )(hidden, context, emb)
             if block_controlnet_hidden_states is not None and not pre_only:
-                interval = cfg.num_layers // len(block_controlnet_hidden_states)
-                hidden = hidden + block_controlnet_hidden_states[i // interval].astype(
+                # float interval + int() truncation, exactly like diffusers'
+                # SD3Transformer2DModel (matters when layers % taps != 0)
+                interval = cfg.num_layers / len(block_controlnet_hidden_states)
+                hidden = hidden + block_controlnet_hidden_states[int(i / interval)].astype(
                     hidden.dtype
                 )
 

@@ -6,9 +6,10 @@ ldm/modules/encoders/modules.py:58-85): pre-RMSNorm blocks, relative
 position bias from a shared bucket table (layer 0, reused by all layers),
 gated-GELU feed-forward, no biases anywhere, final RMSNorm.
 
-Weight import from a HF torch state dict via `t5_key_rules` in
-tools/torch_import (T5 Linear layers have no bias; attention has no
-scaling — T5 bakes the 1/sqrt(d) into the weights).
+Weight import from a HF torch state dict via `t5_params_from_state_dict`
+in tools/diffusers_import (T5 Linear layers have no bias; attention has no
+scaling — T5 bakes the 1/sqrt(d) into the weights). Token ids come from
+data/t5_tokenizer (pure-python Unigram matching T5TokenizerFast).
 """
 
 from __future__ import annotations

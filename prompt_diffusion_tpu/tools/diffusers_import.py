@@ -293,6 +293,35 @@ def sd3_controlnet_rules(num_layers: int = 12):
     return rules
 
 
+def t5_params_from_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """HF `T5EncoderModel` state dict → models.t5_text.T5Encoder params
+    (reference loads T5 as text_encoder_3, train_promptdiffusion_sd3.py:
+    871-906). T5 linears carry no bias; RMSNorms carry scale only; the
+    relative-position bucket table lives on block 0's attention."""
+    p = {
+        "token_embedding": {"embedding": sd["shared.weight"]},
+        "final_norm": {"scale": sd["encoder.final_layer_norm.weight"]},
+    }
+    for i in range(num_layers):
+        e = f"encoder.block.{i}"
+        blk = {
+            "ln_attn": {"scale": sd[f"{e}.layer.0.layer_norm.weight"]},
+            "ln_ff": {"scale": sd[f"{e}.layer.1.layer_norm.weight"]},
+            "attn": {
+                n: {"kernel": np.ascontiguousarray(sd[f"{e}.layer.0.SelfAttention.{n}.weight"].T)}
+                for n in ("q", "k", "v", "o")
+            },
+            "wi_0": {"kernel": np.ascontiguousarray(sd[f"{e}.layer.1.DenseReluDense.wi_0.weight"].T)},
+            "wi_1": {"kernel": np.ascontiguousarray(sd[f"{e}.layer.1.DenseReluDense.wi_1.weight"].T)},
+            "wo": {"kernel": np.ascontiguousarray(sd[f"{e}.layer.1.DenseReluDense.wo.weight"].T)},
+        }
+        rb = sd.get(f"{e}.layer.0.SelfAttention.relative_attention_bias.weight")
+        if rb is not None:
+            blk["attn"]["relative_attention_bias"] = rb
+        p[f"blocks_{i}"] = blk
+    return p
+
+
 def import_sd3_folder(root: str, num_layers: int = 24, controlnet_layers: int = 12) -> dict:
     """SD3 diffusers folder (transformer/, controlnet/, vae/, text encoders)
     → params for PromptDiffusionSD3 (promptdiffusioncontrolnet_sd3.py
@@ -326,4 +355,12 @@ def import_sd3_folder(root: str, num_layers: int = 24, controlnet_layers: int = 
                 (int(k.split(".")[4]) for k in sd if ".encoder.layers." in k), default=11
             ) + 1
             params[name] = {"params": apply_rules(sd, clip_key_rules(nl))}
+    d3 = os.path.join(root, "text_encoder_3")
+    if os.path.isdir(d3):
+        sd = load_component_state(d3)
+        nl = max(
+            (int(k.split(".")[2]) for k in sd if k.startswith("encoder.block.")),
+            default=23,
+        ) + 1
+        params["t5"] = {"params": t5_params_from_state_dict(sd, nl)}
     return params

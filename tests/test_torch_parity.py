@@ -247,28 +247,10 @@ def test_t5_parity():
     tm = T5EncoderModel(hf_cfg).eval().float()
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
 
-    p = {"token_embedding": {"embedding": sd["shared.weight"]},
-         "final_norm": {"scale": sd["encoder.final_layer_norm.weight"]}}
-    for i in range(2):
-        e = f"encoder.block.{i}"
-        blk = {
-            "ln_attn": {"scale": sd[f"{e}.layer.0.layer_norm.weight"]},
-            "ln_ff": {"scale": sd[f"{e}.layer.1.layer_norm.weight"]},
-            "attn": {
-                "q": {"kernel": sd[f"{e}.layer.0.SelfAttention.q.weight"].T},
-                "k": {"kernel": sd[f"{e}.layer.0.SelfAttention.k.weight"].T},
-                "v": {"kernel": sd[f"{e}.layer.0.SelfAttention.v.weight"].T},
-                "o": {"kernel": sd[f"{e}.layer.0.SelfAttention.o.weight"].T},
-            },
-            "wi_0": {"kernel": sd[f"{e}.layer.1.DenseReluDense.wi_0.weight"].T},
-            "wi_1": {"kernel": sd[f"{e}.layer.1.DenseReluDense.wi_1.weight"].T},
-            "wo": {"kernel": sd[f"{e}.layer.1.DenseReluDense.wo.weight"].T},
-        }
-        if i == 0:
-            blk["attn"]["relative_attention_bias"] = sd[
-                f"{e}.layer.0.SelfAttention.relative_attention_bias.weight"
-            ]
-        p[f"blocks_{i}"] = blk
+    # the real importer's mapping (also exercised by import_sd3_folder)
+    from prompt_diffusion_tpu.tools.diffusers_import import t5_params_from_state_dict
+
+    p = t5_params_from_state_dict(sd, 2)
 
     ids = np.random.default_rng(8).integers(0, 256, size=(2, 16)).astype(np.int64)
     with torch.no_grad():
