@@ -223,7 +223,7 @@ def import_mlsd_checkpoint(path: str) -> dict:
     sd = {k: v.numpy() for k, v in
           torch.load(path, map_location="cpu", weights_only=True).items()}
     conv = lambda w: w.transpose(2, 3, 1, 0)
-    dw = lambda w: w.transpose(2, 3, 0, 1)
+    dw = lambda w: w.transpose(2, 3, 1, 0)  # depthwise (C,1,k,k) → (k,k,1,C)
 
     def bn(prefix):
         return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"],

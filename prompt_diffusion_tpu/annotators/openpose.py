@@ -109,7 +109,10 @@ class BodyPoseNet(nn.Module):
             cat = jnp.concatenate([l1, l2, trunk], axis=-1)
             l1 = _Convs(_stage_spec(s, 1, 38), pol, final_relu=False, name=f"model{s}_1")(cat)
             l2 = _Convs(_stage_spec(s, 2, 19), pol, final_relu=False, name=f"model{s}_2")(cat)
-        return l1.astype(jnp.float32), l2.astype(jnp.float32)
+        # reference quirk: its no_relu_layers list names Mconv7_stage6_L1
+        # twice and never Mconv7_stage6_L2 (model.py:30-32), so the final
+        # heatmap output DOES pass through a ReLU — replicate exactly
+        return l1.astype(jnp.float32), jax.nn.relu(l2).astype(jnp.float32)
 
 
 class HandPoseNet(nn.Module):
@@ -120,8 +123,10 @@ class HandPoseNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         pol = self.policy
+        # body trunk through conv4_2 (13 entries incl. the 3 pools), then the
+        # hand-specific tail (reference model.py:152-170)
         trunk_spec = tuple(
-            _BODY_TRUNK[:12]
+            _BODY_TRUNK[:13]
             + [("conv4_3", 512, 3), ("conv4_4", 512, 3), ("conv5_1", 512, 3),
                ("conv5_2", 512, 3), ("conv5_3_CPM", 128, 3)]
         )

@@ -285,15 +285,12 @@ def colorize_segmentation(class_map: np.ndarray) -> np.ndarray:
     return ade_palette()[np.asarray(class_map)]
 
 
-def import_uniformer_checkpoint(path: str, cfg: UniFormerConfig = UniFormerConfig()) -> dict:
-    """upernet_global_small.pth (mmseg format) → flax params."""
-    import torch
-
-    raw = torch.load(path, map_location="cpu", weights_only=True)
-    sd = {k: v.numpy() for k, v in raw.get("state_dict", raw).items()}
+def import_uniformer_backbone(sd: dict, cfg: UniFormerConfig = UniFormerConfig()) -> dict:
+    """Backbone slice of an mmseg state dict (numpy values, `backbone.`
+    prefixes) → flax params for UniFormerBackbone."""
     conv = lambda w: w.transpose(2, 3, 1, 0)
     lin = lambda w: w.T
-    dw = lambda w: w.transpose(2, 3, 0, 1)  # depthwise (C,1,k,k) → (k,k,1,C)
+    dw = lambda w: w.transpose(2, 3, 1, 0)  # depthwise (C,1,k,k) → (k,k,1,C)
 
     def bn(prefix):
         return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"],
@@ -328,6 +325,22 @@ def import_uniformer_checkpoint(path: str, cfg: UniFormerConfig = UniFormerConfi
                 blk["mlp_fc1"] = {"kernel": lin(sd[f"{t}.mlp.fc1.weight"]), "bias": sd[f"{t}.mlp.fc1.bias"]}
                 blk["mlp_fc2"] = {"kernel": lin(sd[f"{t}.mlp.fc2.weight"]), "bias": sd[f"{t}.mlp.fc2.bias"]}
             bb[f"blocks{s}_{i}"] = blk
+    return bb
+
+
+def import_uniformer_checkpoint(path: str, cfg: UniFormerConfig = UniFormerConfig()) -> dict:
+    """upernet_global_small.pth (mmseg format) → flax params."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in raw.get("state_dict", raw).items()}
+    conv = lambda w: w.transpose(2, 3, 1, 0)
+
+    def bn(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"],
+                "mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+
+    bb = import_uniformer_backbone(sd, cfg)
 
     def convmodule(prefix):
         return {"conv": {"kernel": conv(sd[f"{prefix}.conv.weight"])}, "bn": bn(f"{prefix}.bn")}

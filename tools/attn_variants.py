@@ -160,5 +160,73 @@ def main():
             print(f"  {name:32s} FAILED: {type(e).__name__}: {str(e)[:100]}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--packed" not in sys.argv:
     main()
+
+
+# --- packed fullk variant (heads packed on last axis, no transposes) --------
+
+def _fullk_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads):
+    q = q_ref[0]  # (block_q, H*D)
+    nk = k_ref.shape[1]
+    d = q.shape[-1] // num_heads
+    for h in range(num_heads):
+        qh = q[:, h * d : (h + 1) * d]
+        kh = k_ref[0, :, h * d : (h + 1) * d]
+        vh = v_ref[0, :, h * d : (h + 1) * d]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, h * d : (h + 1) * d] = (o / l).astype(o_ref.dtype)
+
+
+def make_fullk_packed(b, n, h, d, block_q, dtype, scale, dimsem=True, vmem_mb=110):
+    return pl.pallas_call(
+        functools.partial(_fullk_packed_kernel, scale=scale, num_heads=h),
+        out_shape=jax.ShapeDtypeStruct((b, n, h * d), dtype),
+        grid=(b, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h * d), lambda i, qb: (i, qb, 0)),
+            pl.BlockSpec((1, n, h * d), lambda i, qb: (i, 0, 0)),
+            pl.BlockSpec((1, n, h * d), lambda i, qb: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h * d), lambda i, qb: (i, qb, 0)),
+        compiler_params=pltpu.CompilerParams(
+            **({"dimension_semantics": ("parallel", "arbitrary")} if dimsem else {}),
+            vmem_limit_bytes=vmem_mb * 2**20,
+        ),
+    )
+
+
+def packed_main():
+    b, n, h, d = 8, 4096, 8, 40
+    scale = d**-0.5
+    dt = jnp.bfloat16
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (b, n, h * d), dt)
+    k0 = jax.random.normal(jax.random.PRNGKey(1), (b, n, h * d), dt)
+    v0 = jax.random.normal(jax.random.PRNGKey(2), (b, n, h * d), dt)
+    mk = lambda i: (q0 * (1 + 1e-4 * i), k0, v0)
+    flops = 4 * b * h * n * n * d
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from prompt_diffusion_tpu.ops.flash_attention import flash_attention_packed
+
+    # correctness
+    ref = flash_attention_packed(q0, k0, v0, h)
+    for bq in (256, 512):
+        fn = make_fullk_packed(b, n, h, d, bq, dt, scale)
+        out = fn(q0, k0, v0)
+        err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+        t = time_fn(fn, mk)
+        print(f"fullk_packed bq{bq}: {t*1e3:.3f} ms  {flops/t/1e12:.1f} TF/s  maxerr={float(err):.5f}")
+    t = time_fn(lambda q, k, v: flash_attention_packed(q, k, v, h), mk)
+    print(f"current packed:     {t*1e3:.3f} ms  {flops/t/1e12:.1f} TF/s")
+
+
+if __name__ == "__main__" and "--packed" in sys.argv:
+    packed_main()
