@@ -293,6 +293,44 @@ def sd3_controlnet_rules(num_layers: int = 12):
     return rules
 
 
+# ---------------------------------------------------------------------------
+# EXPORT to diffusers folders (save_pretrained-compatible weight files)
+# ---------------------------------------------------------------------------
+
+def _save_component(sd: Dict[str, np.ndarray], folder: str) -> None:
+    os.makedirs(folder, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              os.path.join(folder, "diffusion_pytorch_model.safetensors"))
+
+
+def export_diffusers_controlnet(controlnet_params: dict, folder: str,
+                                cfg: UNetConfig = UNetConfig()) -> None:
+    """ControlNet flax params → a diffusers-format weights file the
+    reference's PromptDiffusionControlNetModel.from_pretrained can consume
+    (the trainer's save_pretrained hook output,
+    train_promptdiffusion_sd15.py:801-827). Inverse of the import rules."""
+    from prompt_diffusion_tpu.tools.torch_import import export_rules
+
+    _save_component(
+        export_rules(controlnet_params["params"], diffusers_controlnet_rules(cfg)),
+        folder,
+    )
+
+
+def export_sd3_controlnet(params: dict, folder: str, num_layers: int = 12) -> None:
+    """SD3 controlnet (+down_proj) flax params → diffusers-format weights
+    for the reference SD3PromptDiffusionModel (inverse of the
+    sd3_controlnet_rules import path)."""
+    from prompt_diffusion_tpu.tools.torch_import import export_rules
+
+    tree = dict(params["controlnet"]["params"])
+    if "down_proj" in params:
+        tree["down_proj"] = params["down_proj"]["params"]["down_proj"]
+    _save_component(export_rules(tree, sd3_controlnet_rules(num_layers)), folder)
+
+
 def t5_params_from_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
     """HF `T5EncoderModel` state dict → models.t5_text.T5Encoder params
     (reference loads T5 as text_encoder_3, train_promptdiffusion_sd3.py:

@@ -251,7 +251,13 @@ def apply_rules(sd: Dict[str, np.ndarray], rules, strip_prefix: str = "") -> dic
     return out
 
 
-def import_ldm_checkpoint(path: str, unet_cfg: UNetConfig = UNetConfig()) -> dict:
+def import_ldm_checkpoint(
+    path: str,
+    unet_cfg: UNetConfig = UNetConfig(),
+    vae_ch_mult: Tuple[int, ...] = (1, 2, 4, 4),
+    vae_num_res_blocks: int = 2,
+    clip_layers: int = 12,
+) -> dict:
     """Full reference .ckpt → {"unet","controlnet","vae","clip"} param dict
     (each wrapped as {"params": ...}), ready for the SD1.5 pipeline."""
     sd = load_torch_state_dict(path)
@@ -260,9 +266,90 @@ def import_ldm_checkpoint(path: str, unet_cfg: UNetConfig = UNetConfig()) -> dic
         "controlnet": {
             "params": apply_rules(sd, unet_key_rules(unet_cfg, is_controlnet=True), "control_model.")
         },
-        "vae": {"params": apply_rules(sd, vae_key_rules(), "first_stage_model.")},
-        "clip": {"params": apply_rules(sd, clip_key_rules(), "cond_stage_model.")},
+        "vae": {"params": apply_rules(sd, vae_key_rules(vae_ch_mult, vae_num_res_blocks),
+                                      "first_stage_model.")},
+        "clip": {"params": apply_rules(sd, clip_key_rules(clip_layers), "cond_stage_model.")},
     }
+
+
+# --------------------------------------------------------------------------
+# EXPORT back to reference formats (the inverse of apply_rules)
+# --------------------------------------------------------------------------
+
+def _get(tree: dict, path: str):
+    node = tree
+    for p in path.split("/"):
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def export_rules(tree: dict, rules, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Flax 'params' subtree → torch state-dict entries, via the SAME rule
+    tables the importer uses (so import/export stay in lockstep). Inverse
+    layout transforms: kernel (kh,kw,I,O) → (O,I,kh,kw); (I,O) → (O,I)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(key, value):
+        sd[f"{prefix}{key}"] = np.asarray(value)
+
+    for tprefix, fpath, kind in rules:
+        node = _get(tree, fpath)
+        if node is None:
+            continue
+        if kind == "conv":
+            put(f"{tprefix}.weight", np.transpose(node["kernel"], (3, 2, 0, 1)))
+            if "bias" in node:
+                put(f"{tprefix}.bias", node["bias"])
+        elif kind == "linear":
+            put(f"{tprefix}.weight", np.transpose(node["kernel"], (1, 0)))
+            if "bias" in node:
+                put(f"{tprefix}.bias", node["bias"])
+        elif kind in ("norm", "norm_ln"):
+            put(f"{tprefix}.weight", node["scale"])
+            put(f"{tprefix}.bias", node["bias"])
+        elif kind == "embed":
+            put(f"{tprefix}.weight", node["embedding"])
+    # CLIP position embedding (bare param — mirrors apply_rules' special case)
+    pos = tree.get("position_embedding") if isinstance(tree, dict) else None
+    if pos is not None:
+        put("transformer.text_model.embeddings.position_embedding.weight", pos)
+    return sd
+
+
+def export_ldm_checkpoint(
+    params: dict,
+    path: str,
+    unet_cfg: UNetConfig = UNetConfig(),
+    vae_ch_mult: Tuple[int, ...] = (1, 2, 4, 4),
+    vae_num_res_blocks: int = 2,
+    clip_layers: int = 12,
+) -> None:
+    """{"unet","controlnet","vae","clip"} param dict → reference .ckpt
+    loadable by `cldm/model.py:12-28` (torch format, `state_dict` payload,
+    the four reference namespaces of SURVEY.md §2.11). The inverse of
+    `import_ldm_checkpoint` — trained ControlNets round-trip back into the
+    reference ecosystem."""
+    import torch
+
+    sd: Dict[str, np.ndarray] = {}
+    if "unet" in params:
+        sd.update(export_rules(params["unet"]["params"], unet_key_rules(unet_cfg),
+                               "model.diffusion_model."))
+    if "controlnet" in params:
+        sd.update(export_rules(params["controlnet"]["params"],
+                               unet_key_rules(unet_cfg, is_controlnet=True),
+                               "control_model."))
+    if "vae" in params:
+        sd.update(export_rules(params["vae"]["params"],
+                               vae_key_rules(vae_ch_mult, vae_num_res_blocks),
+                               "first_stage_model."))
+    if "clip" in params:
+        sd.update(export_rules(params["clip"]["params"], clip_key_rules(clip_layers),
+                               "cond_stage_model."))
+    torch.save({"state_dict": {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}},
+               path)
 
 
 def controlnet_init_from_unet(unet_params: dict, controlnet_params: dict) -> dict:
