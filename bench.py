@@ -1,56 +1,64 @@
-"""Benchmark: SD1.5 Prompt-Diffusion 512², 50-step DDIM, CFG 9 — the
-north-star config (BASELINE.md: images/sec/chip; p50 per-step latency).
+"""Benchmarks for every BASELINE.md config. Default (no args) runs the
+north-star config and prints ONE JSON line {"metric","value","unit",
+"vs_baseline"} — the contract the driver records in BENCH_r{N}.json.
 
-Runs the full jitted pipeline (CLIP encode → ControlNet+UNet ×50 CFG
-double-batched steps under lax.scan → VAE decode) on one chip with random
-weights (numerics-identical workload to pretrained ones).
+Configs (BASELINE.json `configs` 1-5):
+  --config sd15     512², 50-step DDIM, CFG 9, batch 4 — the headline
+                    (covers configs 1+2: notebook flow and the diffusers
+                    CFG-double-batched loop are the same jitted program).
+  --config sd3      SD3 Prompt-Diffusion 1024², 28-step FlowMatchEuler,
+                    CFG 7 (config 4; reference defaults
+                    promptdiffusioncontrolnetpipeline_sd3.py:862-864).
+  --config annotate batched canny condition extraction @512² (config 3;
+                    reference annotates one image at a time on GPU,
+                    annotate_data.py:36-54).
+  --config train    SD1.5 ControlNet train-step throughput, batch 8,
+                    grad-accum 1 (config 5, per-chip number).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-vs_baseline: the reference publishes no numbers (SURVEY.md §6); the
-comparison point is an A100 running the reference diffusers fp16+xformers
-pipeline at ≈0.33 img/s for 512² 50-step ControlNet sampling (measured
-community numbers for SD1.5+ControlNet; the BASELINE.json target is ≥5×
-per chip).
+vs_baseline: the reference publishes no numbers (SURVEY.md §6); comparison
+points are measured community A100 numbers for the same workload, recorded
+per-config below.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 _T0 = time.perf_counter()
 
-A100_REFERENCE_IMGS_PER_SEC = 0.33
+# A100 fp16+xformers measured community numbers for the same workloads.
+A100_SD15_IMGS_PER_SEC = 0.33   # SD1.5+ControlNet 512² 50-step CFG
+A100_SD3_IMGS_PER_SEC = 0.10    # SD3-Medium+ControlNet 1024² 28-step CFG
+A100_ANNOTATE_IMGS_PER_SEC = 40.0  # cv2.Canny+resize loop, one image at a time
+A100_TRAIN_SAMPLES_PER_SEC = 11.0  # reference recipe: batch 64/accum 4 on 8×GPU
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--bf16-params", action="store_true",
-                    help="cast weights to bf16 (halves weight HBM traffic)")
-    args = ap.parse_args()
+def log(msg):
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
-    import sys
-    import time as _time
+
+def emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+def bench_sd15(args):
+    import jax
+    import jax.numpy as jnp
 
     from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
-
-    def log(msg):
-        print(f"[bench +{_time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
     pipe = PromptDiffusionSD15.create()
     rng = jax.random.PRNGKey(0)
     log("initializing params (jitted init)...")
-    init = jax.jit(lambda r: pipe.init_params(r, image_size=args.size), static_argnums=())
-    params = init(rng)
+    params = jax.jit(lambda r: pipe.init_params(r, image_size=args.size))(rng)
     jax.block_until_ready(params)
     if args.bf16_params:
         from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
@@ -71,7 +79,6 @@ def main():
         return gen(params, key, ids, neg, pair, query,
                    num_steps=args.steps, guidance_scale=9.0)
 
-    # compile + warmup
     log("compiling generate program...")
     t0 = time.perf_counter()
     run(jax.random.PRNGKey(1)).block_until_ready()
@@ -84,28 +91,158 @@ def main():
         run(jax.random.PRNGKey(2 + i)).block_until_ready()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    imgs_per_sec = b / best
-    per_step_ms = best / args.steps * 1e3  # whole-pipeline per-DDIM-step
-
-    print(
-        json.dumps(
-            {
-                "metric": f"images/sec/chip (SD1.5 PromptDiffusion {args.size}px, "
-                          f"{args.steps}-step DDIM, CFG, batch {b})",
-                "value": round(imgs_per_sec, 4),
-                "unit": "img/s",
-                "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 2),
-            }
-        )
+    emit(
+        f"images/sec/chip (SD1.5 PromptDiffusion {args.size}px, "
+        f"{args.steps}-step DDIM, CFG, batch {b})",
+        b / best, "img/s", A100_SD15_IMGS_PER_SEC,
     )
-    # extra diagnostics to stderr so stdout stays one JSON line
-    import sys
-
     print(
-        f"p50_step_ms={per_step_ms:.1f} compile_s={compile_s:.1f} "
+        f"p50_step_ms={best / args.steps * 1e3:.1f} compile_s={compile_s:.1f} "
         f"times={[round(t, 2) for t in times]} device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+
+
+def bench_sd3(args):
+    import jax
+    import jax.numpy as jnp
+
+    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd3 import PromptDiffusionSD3
+
+    size = args.size if args.size != 512 else 1024
+    steps = args.steps if args.steps != 50 else 28
+    b = args.batch if args.batch != 4 else 1
+
+    pipe = PromptDiffusionSD3.create()  # drop_t5 mode (zero-padded T5 slots)
+    log("initializing SD3 params (jitted init)...")
+    params = jax.jit(lambda r: pipe.init_params(r, image_size=size, batch=1))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    if args.bf16_params:
+        from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
+
+        params = jax.jit(cast_params_bf16)(params)
+        jax.block_until_ready(params)
+    log("params ready")
+
+    ids = {"l": jnp.zeros((b, 77), jnp.int32), "g": jnp.zeros((b, 77), jnp.int32)}
+    img = jnp.zeros((b, size, size, 3), jnp.float32)
+
+    gen = pipe.jit_generate()
+
+    def run(key):
+        return gen(params, key, ids, ids, img, img, img,
+                   num_steps=steps, guidance_scale=7.0)
+
+    log("compiling SD3 generate program...")
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(1)).block_until_ready()
+    compile_s = time.perf_counter() - t0
+    log(f"compiled+warm in {compile_s:.0f}s; timing {args.iters} iters")
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(2 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    emit(
+        f"images/sec/chip (SD3 PromptDiffusion {size}px, {steps}-step "
+        f"FlowMatchEuler, CFG, batch {b})",
+        b / best, "img/s", A100_SD3_IMGS_PER_SEC,
+    )
+    print(f"compile_s={compile_s:.1f} times={[round(t, 2) for t in times]}",
+          file=sys.stderr)
+
+
+def bench_annotate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from prompt_diffusion_tpu.annotators.canny import canny
+
+    b = max(args.batch, 16)
+    size = args.size
+    run = jax.jit(lambda x: canny(x))
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (b, size, size, 3)) * 255.0
+    log("compiling batched canny...")
+    run(x0).block_until_ready()
+    times = []
+    for i in range(max(args.iters, 5)):
+        xi = x0 * (1.0 + 1e-4 * (i + 1))  # defeat result caching
+        jax.block_until_ready(xi)
+        t0 = time.perf_counter()
+        run(xi).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    emit(
+        f"images/sec/chip (batched canny condition extraction {size}px, batch {b})",
+        b / best, "img/s", A100_ANNOTATE_IMGS_PER_SEC,
+    )
+    print(f"times_ms={[round(t * 1e3, 1) for t in times]}", file=sys.stderr)
+
+
+def bench_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
+    from prompt_diffusion_tpu.training.sd15 import (
+        SD15TrainConfig, init_train_state, make_optimizer, make_train_step)
+
+    b = args.batch if args.batch != 4 else 8
+    size = args.size
+    pipe = PromptDiffusionSD15.create()
+    log("initializing params (jitted init)...")
+    params = jax.jit(lambda r: pipe.init_params(r, image_size=size))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    cfg = SD15TrainConfig(accum_steps=1, use_ema=False)
+    trainable = {"controlnet": params["controlnet"]}
+    tx = make_optimizer(cfg, trainable)
+    state = init_train_state(cfg, params, tx)
+    frozen = {k: v for k, v in params.items() if k != "controlnet"}
+    step = jax.jit(make_train_step(pipe, cfg, tx))
+
+    batch = {
+        "image": jnp.zeros((b, size, size, 3), jnp.float32),
+        "query": jnp.zeros((b, size, size, 3), jnp.float32),
+        "example_pair": jnp.zeros((b, size, size, 6), jnp.float32),
+        "token_ids": jnp.zeros((b, 77), jnp.int32),
+        "null_ids": jnp.zeros((1, 77), jnp.int32),
+    }
+    log("compiling train step...")
+    t0 = time.perf_counter()
+    state, metrics = step(state, frozen, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+    log(f"compiled in {time.perf_counter() - t0:.0f}s; timing")
+    times = []
+    for i in range(max(args.iters, 5)):
+        t0 = time.perf_counter()
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(metrics)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    emit(
+        f"train samples/sec/chip (SD1.5 ControlNet {size}px, batch {b})",
+        b / best, "samples/s", A100_TRAIN_SAMPLES_PER_SEC / 8,  # per-GPU
+    )
+    print(f"step_ms={[round(t * 1e3, 1) for t in times]}", file=sys.stderr)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="sd15",
+                    choices=["sd15", "sd3", "annotate", "train"])
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--bf16-params", action="store_true",
+                    help="cast weights to bf16 (halves weight HBM traffic)")
+    args = ap.parse_args()
+    {"sd15": bench_sd15, "sd3": bench_sd3,
+     "annotate": bench_annotate, "train": bench_train}[args.config](args)
 
 
 if __name__ == "__main__":

@@ -27,18 +27,54 @@ TASKS = ("hed", "seg", "depth", "normal", "canny",
          "inv_hed", "inv_seg", "inv_depth", "inv_normal", "inv_canny")
 
 
-def extract_condition(image_u8: np.ndarray, task: str, annotators: dict) -> np.ndarray:
-    """uint8 HWC → condition uint8 HWC for a forward task."""
+def extract_condition(image_u8: np.ndarray, task: str, ckpts: dict) -> np.ndarray:
+    """uint8 HWC → condition uint8 HWC for a forward task.
+
+    Mirrors notebook cell 4's annotator dispatch (apply_hed / apply_midas /
+    apply_uniformer / cv2.Canny); weighted annotators need a checkpoint path
+    in `ckpts` ({"hed": ..., "midas": ..., "seg": ...})."""
+    import jax
     import jax.numpy as jnp
 
+    x = jnp.asarray(image_u8[None].astype(np.float32))
     if task == "canny":
         from prompt_diffusion_tpu.annotators.canny import canny
 
-        edge = np.asarray(canny(jnp.asarray(image_u8[None].astype(np.float32))))[0]
+        edge = np.asarray(canny(x))[0]
         return np.repeat(edge[..., None].astype(np.uint8), 3, axis=-1)
-    raise NotImplementedError(
-        f"annotator weights for '{task}' must be supplied; canny runs weight-free"
-    )
+
+    def need(key, flag):
+        if not ckpts.get(key):
+            raise SystemExit(f"--task {task} needs annotator weights: pass {flag}")
+        return ckpts[key]
+
+    if task == "hed":
+        from prompt_diffusion_tpu.annotators.hed import HEDNetwork, import_hed_checkpoint
+
+        net = HEDNetwork()
+        params = import_hed_checkpoint(need("hed", "--hed-ckpt"))
+        e = np.clip(np.asarray(jax.jit(net.apply)(params, x))[0] * 255.0, 0, 255)
+        return np.repeat(e[..., None].astype(np.uint8), 3, axis=-1)
+    if task in ("depth", "normal"):
+        from prompt_diffusion_tpu.annotators.midas import (
+            DPTDepth, depth_to_normals, import_dpt_checkpoint)
+
+        dpt = DPTDepth()
+        params = import_dpt_checkpoint(need("midas", "--midas-ckpt"))
+        depth = jax.jit(dpt.apply)(params, x / 127.5 - 1.0)
+        d01, normals = depth_to_normals(depth)
+        out = np.asarray(d01 if task == "depth" else normals)[0] * 255.0
+        out = np.clip(out, 0, 255).astype(np.uint8)
+        return np.repeat(out[..., None], 3, -1) if out.ndim == 2 else out
+    if task == "seg":
+        from prompt_diffusion_tpu.annotators.uniformer import (
+            UniFormerSeg, colorize_segmentation, import_uniformer_checkpoint)
+
+        seg = UniFormerSeg()
+        params = import_uniformer_checkpoint(need("seg", "--seg-ckpt"))
+        classes = np.asarray(jnp.argmax(jax.jit(seg.apply)(params, x), axis=-1))[0]
+        return colorize_segmentation(classes)
+    raise SystemExit(f"unknown forward task '{task}'")
 
 
 def main():
@@ -51,6 +87,9 @@ def main():
     p.add_argument("--query-image", required=True,
                    help="query condition image (forward task) or image (inverse task)")
     p.add_argument("--task", choices=TASKS, default="hed")
+    p.add_argument("--hed-ckpt", default=None, help="network-bsds500.pth")
+    p.add_argument("--midas-ckpt", default=None, help="dpt_hybrid/dpt_large .pt")
+    p.add_argument("--seg-ckpt", default=None, help="upernet_global_small.pth")
     p.add_argument("--prompt", required=True)
     p.add_argument("--a-prompt", default=A_PROMPT)
     p.add_argument("--n-prompt", default=N_PROMPT)
@@ -82,7 +121,9 @@ def main():
     if args.example_cond:
         example_cond = load(args.example_cond)
     else:
-        example_cond = extract_condition(example_img, args.task.removeprefix("inv_"), {})
+        example_cond = extract_condition(
+            example_img, args.task.removeprefix("inv_"),
+            {"hed": args.hed_ckpt, "midas": args.midas_ckpt, "seg": args.seg_ckpt})
 
     if args.task.startswith("inv_"):
         # inverse task: condition is the *target*; pair = (image, condition)

@@ -157,6 +157,27 @@ class Upsample(nn.Module):
         return conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="conv")(x)
 
 
+class ScaledDense(nn.Module):
+    """Bias-free Dense whose kernel is multiplied by a constant at apply
+    time. Param tree identical to nn.Dense (name/"kernel", same init), so
+    checkpoint import/export is unaffected."""
+
+    features: int
+    scale: float
+    policy: DTypePolicy
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        w = (kernel * self.scale).astype(self.policy.compute_dtype)
+        return jax.lax.dot_general(
+            x.astype(self.policy.compute_dtype), w, (((x.ndim - 1,), (0,)), ((), ()))
+        )
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attn when context is None
     (ldm/modules/attention.py:145-194)."""
@@ -173,7 +194,13 @@ class CrossAttention(nn.Module):
         dense = lambda name: nn.Dense(
             inner, use_bias=False, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name=name
         )
-        q = dense("to_q")(x)
+        # Softmax scale folded into the to_q weights (fp32, before the
+        # compute-dtype cast): kills one full (Nq,Nk) fp32 multiply pass per
+        # head inside the kernel — measured 8% on the D=40 hot site
+        # (tools/attn_lab2.py). Loop-invariant, so XLA hoists the weight
+        # scaling out of the sampling scan.
+        scale = self.dim_head ** -0.5
+        q = ScaledDense(features=inner, scale=scale, policy=self.policy, name="to_q")(x)
         k = dense("to_k")(context)
         v = dense("to_v")(context)
         b, nq = q.shape[:2]
@@ -185,13 +212,14 @@ class CrossAttention(nn.Module):
             # packed-heads kernel: consumes the projection layout directly,
             # no (B,N,H,D)↔(B,H,N,D) copies. Cross-attention (77-token kv)
             # stays on XLA — measured 3.5% slower through the kernel.
-            out = flash_attention_packed(q, k, v, self.heads)
+            out = flash_attention_packed(q, k, v, self.heads, scale=1.0)
         else:
             qh = q.reshape(b, nq, self.heads, self.dim_head)
             kh = k.reshape(b, nk, self.heads, self.dim_head)
             vh = v.reshape(b, nk, self.heads, self.dim_head)
             out = dot_product_attention(
-                qh, kh, vh, softmax_dtype=self.policy.softmax_dtype, use_flash=False
+                qh, kh, vh, scale=1.0,
+                softmax_dtype=self.policy.softmax_dtype, use_flash=False
             )
             out = out.reshape(b, nq, inner)
         return nn.Dense(

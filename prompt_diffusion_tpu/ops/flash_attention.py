@@ -110,6 +110,11 @@ def _flash_forward(q, k, v, scale):
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize * 2,
             transcendentals=b * h * nq * nk,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # full-K/V residency at D=512 (VAE mid-attention) exceeds the
+            # 16 MB default scoped-vmem limit at batch ≥16
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(qt, kt, vt)
     return jnp.transpose(out, (0, 2, 1, 3))

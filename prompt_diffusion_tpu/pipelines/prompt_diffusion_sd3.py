@@ -169,3 +169,31 @@ class PromptDiffusionSD3:
             self.generate,
             static_argnames=("num_steps", "shift"),
         )
+
+    # ---- init -------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array, image_size: int = 1024, batch: int = 1,
+                    t5_len: int = 256):
+        """Random-init parameter dict (for training-from-scratch / benches)."""
+        h = w = image_size
+        lh, lw = h // 8, w // 8
+        zc = self.vae.config.z_channels
+        r1, r2, r3, r4, r5, r6, r7 = jax.random.split(rng, 7)
+        lat = jnp.zeros((batch, lh, lw, zc))
+        t = jnp.zeros((batch,), jnp.float32)
+        joint = self.transformer.config.joint_attention_dim
+        ctx = jnp.zeros((batch, 77 + t5_len, joint))
+        pooled = jnp.zeros((batch, 2048))
+        ids = jnp.zeros((batch, 77), jnp.int32)
+        img = jnp.zeros((batch, h, w, 3))
+        params = {
+            "transformer": self.transformer.init(r1, lat, t, ctx, pooled),
+            "controlnet": self.controlnet.init(r2, lat, t, lat, lat, ctx, pooled),
+            "down_proj": self.down_proj.init(r3, img, img),
+            "vae": self.vae.init(r4, img),
+            "clip_l": self.clip_l.init(r5, ids),
+            "clip_g": self.clip_g.init(r6, ids),
+        }
+        if self.t5 is not None:
+            params["t5"] = self.t5.init(r7, jnp.zeros((batch, t5_len), jnp.int32))
+        return params

@@ -32,15 +32,20 @@ def ref_path():
     # transformers' availability probing) raises ValueError.
     import importlib.machinery
 
-    if "torchvision" not in sys.modules:
+    # another test module (test_annotator_parity) may have stubbed
+    # torchvision already, without the .utils submodule — ensure both
+    # entries exist whichever test ran first.
+    tv = sys.modules.get("torchvision")
+    if tv is None:
         tv = types.ModuleType("torchvision")
         tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         tv.__version__ = "0.0.0-stub"
+        sys.modules["torchvision"] = tv
+    if "torchvision.utils" not in sys.modules:
         tv_utils = types.ModuleType("torchvision.utils")
         tv_utils.__spec__ = importlib.machinery.ModuleSpec("torchvision.utils", None)
         tv_utils.make_grid = lambda *a, **k: None
         tv.utils = tv_utils
-        sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tv_utils
     # stub omegaconf (openaimodel imports ListConfig for an isinstance check)
     if "omegaconf" not in sys.modules:
