@@ -69,8 +69,87 @@ def _group_avg_matrix(c: int, num_groups: int):
     return a
 
 
+def _stats_kernel(x_ref, o_ref):
+    """Per-(batch, row-block) channel sum / sum-of-squares in fp32."""
+    x = x_ref[0]  # (hb, W, C)
+    hb, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(hb * w, c)
+    o_ref[0, 0, 0] = jnp.sum(xf, axis=0)
+    o_ref[0, 0, 1] = jnp.sum(xf * xf, axis=0)
+
+
+def _apply_kernel(x_ref, sc_ref, sh_ref, o_ref, *, apply_silu: bool):
+    x = x_ref[0].astype(jnp.float32)  # (hb, W, C)
+    out = x * sc_ref[0, 0] + sh_ref[0, 0]
+    if apply_silu:
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _row_block(h, w, c, itemsize, budget=4 * 1024 * 1024):
+    """Largest divisor of h whose (hb, w, c) block fits the VMEM budget."""
+    per_row = w * c * itemsize
+    hb = max(1, min(h, budget // per_row))
+    while h % hb:
+        hb -= 1
+    return hb
+
+
+def _forward_blocked(x, scale, bias, num_groups, eps, apply_silu):
+    """Two-pass row-blocked path for activations too large for one VMEM
+    block (the 512²/256² VAE decoder GNs): stats stream + apply stream,
+    2 reads + 1 write of the bf16 activation, no fp32 materialization and
+    no (…, G, C/G) relayout."""
+    b, h, w, c = x.shape
+    interpret = jax.default_backend() == "cpu"
+    hb = _row_block(h, w, c, x.dtype.itemsize)
+    nb = h // hb
+    partial = pl.pallas_call(
+        _stats_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nb, 2, c), jnp.float32),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, hb, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+    tot = jnp.sum(partial, axis=1)  # (B, 2, C)
+    n = h * w * (c // num_groups)
+    g_sum = tot[:, 0].reshape(b, num_groups, c // num_groups).sum(-1)
+    g_sq = tot[:, 1].reshape(b, num_groups, c // num_groups).sum(-1)
+    g_mean = g_sum / n
+    g_var = g_sq / n - jnp.square(g_mean)
+    inv = jax.lax.rsqrt(g_var + eps)  # (B, G)
+    cg = c // num_groups
+    inv_c = jnp.repeat(inv, cg, axis=-1)  # (B, C)
+    mean_c = jnp.repeat(g_mean, cg, axis=-1)
+    eff_scale = scale.astype(jnp.float32)[None, :] * inv_c
+    eff_shift = bias.astype(jnp.float32)[None, :] - mean_c * eff_scale
+    return pl.pallas_call(
+        functools.partial(_apply_kernel, apply_silu=apply_silu),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, hb, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, eff_scale[:, None, :], eff_shift[:, None, :])
+
+
 def _forward(x, scale, bias, num_groups, eps, apply_silu):
     b, h, w, c = x.shape
+    if h * w * c * x.dtype.itemsize > 8 * 1024 * 1024:
+        return _forward_blocked(x, scale, bias, num_groups, eps, apply_silu)
     interpret = jax.default_backend() == "cpu"
     avg = jnp.asarray(_group_avg_matrix(c, num_groups))
     return pl.pallas_call(
@@ -109,13 +188,13 @@ fused_group_norm.defvjp(_fwd, _bwd)
 def group_norm_auto(x, num_groups, scale, bias, eps=1e-5, apply_silu=False,
                     min_fused_elems: int = 1 << 18):
     """Pick the Pallas kernel for large activations on TPU, jnp otherwise.
-    VMEM residency requires a batch row ≤ ~8 MB."""
+    Batch rows ≤ ~8 MB go through the single-pass VMEM-resident kernel;
+    larger rows (512²/256² VAE decoder) through the row-blocked two-pass
+    kernel."""
     b, h, w, c = x.shape if x.ndim == 4 else (1, 1, 1, x.shape[-1])
-    row_bytes = h * w * c * x.dtype.itemsize
     if (
         x.ndim == 4
         and x.shape[0] * h * w * c >= min_fused_elems
-        and row_bytes <= 8 * 1024 * 1024
         and c % num_groups == 0
         and jax.default_backend() != "cpu"
     ):

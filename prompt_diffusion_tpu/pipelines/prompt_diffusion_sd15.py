@@ -139,6 +139,7 @@ class PromptDiffusionSD15:
         control_scale: float = 1.0,
         eta: float = 0.0,
         guess_mode: bool = False,
+        init_noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Returns images (B, H, W, 3) in [0,1]. Jit with
         static_argnums on (num_steps, eta, guess_mode) via the cached
@@ -156,12 +157,19 @@ class PromptDiffusionSD15:
         pair2 = jnp.concatenate([example_pair] * 2, axis=0)
         query2 = jnp.concatenate([query] * 2, axis=0)
 
+        # control_scale is a python/traced scalar, or per-sample (B,1,1,1)
+        # (the serving batcher mixes requests with different strengths in
+        # one execution) — tile per-sample scales over the CFG double batch.
+        per_sample = getattr(control_scale, "ndim", 0) >= 2
+        cs2 = (
+            jnp.concatenate([control_scale] * 2, axis=0) if per_sample else control_scale
+        )
         if guess_mode:
             # notebook cell 5: strength * 0.825^(12−i) over the 13 taps
-            scales = control_scale * (0.825 ** jnp.arange(12, -1, -1, dtype=jnp.float32))
-            ctrl_scale = tuple(scales[i] for i in range(13))
+            decay = 0.825 ** jnp.arange(12, -1, -1, dtype=jnp.float32)
+            ctrl_scale = tuple(cs2 * decay[i] for i in range(13))
         else:
-            ctrl_scale = control_scale
+            ctrl_scale = cs2
 
         # the hint embedding is t/x-independent — compute once, not 50×
         hint2 = self.controlnet.apply(
@@ -194,7 +202,12 @@ class PromptDiffusionSD15:
             return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
 
         rng, noise_rng, loop_rng = jax.random.split(rng, 3)
-        x = jax.random.normal(noise_rng, (b, lat_h, lat_w, 4), dtype=jnp.float32)
+        if init_noise is None:
+            x = jax.random.normal(noise_rng, (b, lat_h, lat_w, 4), dtype=jnp.float32)
+        else:
+            # caller-supplied x_T — per-request determinism in the serving
+            # batcher (batch composition must not change a request's image)
+            x = init_noise.astype(jnp.float32)
 
         stochastic = eta > 0.0
 

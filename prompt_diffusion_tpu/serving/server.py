@@ -1,0 +1,211 @@
+"""Production serving: continuous micro-batching around the jitted
+SD1.5 Prompt-Diffusion pipeline.
+
+The reference serves one request at a time from a notebook / gradio-style
+loop (run_prompt_diffusion.ipynb cell 5 `process`). On TPU the economics
+are different: a single jitted program at batch B has ~the same latency as
+batch 1 until the MXU saturates, so the server batches concurrent requests
+into fixed-size buckets and runs them as ONE program execution.
+
+Design (TPU-first):
+  * requests carry traced-only parameters (guidance/control scale, PRNG
+    key) — they batch freely; shape-affecting parameters (steps, size,
+    eta, guess_mode) pick the bucket, so each distinct sampler config
+    compiles exactly once and is cached by jit thereafter.
+  * batch buckets are powers of two up to `max_batch`; a partial bucket is
+    padded by repeating the last request (per-sample independence makes
+    padding exact) and sliced on the way out.
+  * one worker thread owns the device; the queue decouples producers.
+    `flush_ms` bounds the extra latency a request pays to let a batch
+    form under load.
+
+No counterpart file in the reference (capability superset); closest
+behavior: run_prompt_diffusion.ipynb cell 5 + generate_train.py:99-121
+fixed-batch loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    """One generation job. Arrays are host-side numpy in pipeline layout."""
+
+    token_ids: np.ndarray  # (77,) int32
+    neg_token_ids: np.ndarray  # (77,) int32
+    example_pair: np.ndarray  # (H, W, 6) float32 in [-1, 1]
+    query: np.ndarray  # (H, W, 3) float32 in [-1, 1]
+    num_steps: int = 50
+    guidance_scale: float = 9.0
+    control_scale: float = 1.0
+    eta: float = 0.0
+    guess_mode: bool = False
+    seed: int = 0
+
+    def bucket_key(self):
+        """Everything shape- or compile-affecting."""
+        h, w, _ = self.query.shape
+        return (h, w, self.num_steps, self.eta, self.guess_mode)
+
+
+@dataclasses.dataclass
+class ServerConfig:
+    max_batch: int = 8
+    flush_ms: float = 10.0
+    queue_size: int = 256
+
+
+class GenerationServer:
+    """Micro-batching server over `PromptDiffusionSD15.jit_generate`.
+
+    Usage:
+        server = GenerationServer(pipe, params)
+        server.start()
+        fut = server.submit(request)      # returns concurrent.futures.Future
+        image = fut.result()              # (H, W, 3) float32 in [0, 1]
+    """
+
+    def __init__(self, pipe, params, config: Optional[ServerConfig] = None):
+        self.pipe = pipe
+        self.params = params
+        self.config = config or ServerConfig()
+        self._gen = pipe.jit_generate()
+        self._queue: "queue.Queue" = queue.Queue(self.config.queue_size)
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+
+    # ---- lifecycle --------------------------------------------------------
+
+    def start(self):
+        if self._worker is not None:
+            return self
+        self._stop.clear()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        return self
+
+    def stop(self, timeout: float = 30.0):
+        self._stop.set()
+        if self._worker is not None:
+            self._worker.join(timeout)
+            self._worker = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # ---- client API -------------------------------------------------------
+
+    def submit(self, req: GenerationRequest) -> Future:
+        fut: Future = Future()
+        self._queue.put((req, fut))
+        return fut
+
+    def generate(self, req: GenerationRequest, timeout: Optional[float] = None):
+        return self.submit(req).result(timeout)
+
+    def warmup(self, sample: GenerationRequest, batches: Sequence[int] = ()):
+        """Pre-compile the buckets a deployment will serve (first compile
+        of a 512² program is minutes on a cold cache — do it before
+        accepting traffic)."""
+        sizes = list(batches) or [self._bucket_size(self.config.max_batch)]
+        for b in sizes:
+            self._execute([sample] * b)
+
+    # ---- worker -----------------------------------------------------------
+
+    def _bucket_size(self, n: int) -> int:
+        b = 1
+        while b < n and b < self.config.max_batch:
+            b *= 2
+        return b
+
+    def _run(self):
+        cfg = self.config
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            key = first[0].bucket_key()
+            deadline = time.perf_counter() + cfg.flush_ms / 1e3
+            while len(batch) < cfg.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item[0].bucket_key() != key:
+                    # different program — run what we have, requeue the rest
+                    self._queue.put(item)
+                    break
+                batch.append(item)
+            reqs = [r for r, _ in batch]
+            futs = [f for _, f in batch]
+            try:
+                images = self._execute(reqs)
+                for f, img in zip(futs, images):
+                    f.set_result(img)
+            except Exception as e:  # surface compile/runtime errors per-future
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+
+    def _execute(self, reqs: Sequence[GenerationRequest]) -> np.ndarray:
+        n = len(reqs)
+        bucket = self._bucket_size(n)
+        padded = reqs + [reqs[-1]] * (bucket - n)
+        r0 = padded[0]
+
+        ids = jnp.asarray(np.stack([r.token_ids for r in padded]), jnp.int32)
+        neg = jnp.asarray(np.stack([r.neg_token_ids for r in padded]), jnp.int32)
+        pair = jnp.asarray(np.stack([r.example_pair for r in padded]), jnp.float32)
+        qry = jnp.asarray(np.stack([r.query for r in padded]), jnp.float32)
+        # per-request traced scales: guidance folds into the CFG combine and
+        # control into the tap scaling — batch-shaped so requests with
+        # different scales share one execution.
+        guidance = jnp.asarray(
+            [r.guidance_scale for r in padded], jnp.float32)[:, None, None, None]
+        control = jnp.asarray(
+            [r.control_scale for r in padded], jnp.float32)[:, None, None, None]
+        # per-request deterministic x_T: each request's noise depends only
+        # on its own seed, never on batch composition
+        h, w, _ = r0.query.shape
+        seeds = jnp.asarray([r.seed for r in padded], jnp.uint32)
+        noise = jax.vmap(
+            lambda s: jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(0), s),
+                (h // 8, w // 8, 4), jnp.float32)
+        )(seeds)
+
+        images = self._gen(
+            self.params, jax.random.PRNGKey(0), ids, neg, pair, qry,
+            num_steps=r0.num_steps,
+            guidance_scale=guidance,
+            control_scale=control,
+            eta=r0.eta,
+            guess_mode=r0.guess_mode,
+            init_noise=noise,
+        )
+        out = np.asarray(images[:n])
+        self.stats["requests"] += n
+        self.stats["batches"] += 1
+        self.stats["padded_slots"] += bucket - n
+        return out

@@ -69,3 +69,16 @@ def test_flash_attention_bf16_accumulation():
     )
     err = np.abs(np.asarray(got, np.float32) - np.asarray(ref)).max()
     assert err < 0.03  # bf16 input rounding only, no fp32-matmul drift
+
+
+def test_fused_group_norm_blocked_path_matches_reference():
+    """Row-blocked two-pass kernel (big-activation VAE-decode path):
+    force it by exceeding the 8 MB single-block limit."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 1024, 64, 32)), jnp.float32)  # 8.4 MB row
+    s = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    for silu in (False, True):
+        ref = group_norm(x, 8, s, b, apply_silu=silu)
+        got = fused_group_norm(x, s, b, 8, 1e-5, silu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
