@@ -38,6 +38,23 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000
     return emb
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics; param tree identical to
+    nn.LayerNorm ("scale", "bias"). Routes through the one-pass Pallas
+    kernel on TPU (ops/fused_layer_norm.py)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        from prompt_diffusion_tpu.ops.fused_layer_norm import layer_norm_auto
+
+        return layer_norm_auto(x, scale, bias, eps=self.eps)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with fp32 statistics (GroupNorm32, util.py:217-219)."""
 
@@ -255,9 +272,7 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        ln = lambda name: nn.LayerNorm(
-            epsilon=1e-5, dtype=self.policy.norm_dtype, param_dtype=jnp.float32, name=name
-        )
+        ln = lambda name: FusedLayerNorm(name=name)
         attn = lambda name: CrossAttention(
             heads=self.heads, dim_head=self.dim_head, policy=self.policy, name=name
         )

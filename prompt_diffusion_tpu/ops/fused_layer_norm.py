@@ -1,0 +1,107 @@
+"""Fused LayerNorm Pallas kernel (fp32 stats, bf16 I/O).
+
+The UNet's transformer blocks carry 3 pre-LNs per BasicTransformerBlock
+(~48 sites per ε-step). XLA lowers each fp32-stat LayerNorm into a
+convert → reduce(mean) → reduce(var) → normalize chain: ≥3 HBM reads +
+1 write of the activation. This kernel keeps the row block VMEM-resident
+and does stats + normalize + affine in ONE pass: 1 read + 1 write
+(measured ~6.5 ms/step of LN stat-reduction fusions in the 512² trace).
+
+Replaces flax nn.LayerNorm at the hot sites via `FusedLayerNorm`, which
+keeps the identical param tree ("scale", "bias") so checkpoint
+import/export is unaffected.
+
+Backward recomputes through the jnp reference (same trade as the
+flash-attention and GroupNorm kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _jnp_layer_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
+    x = x_ref[...]  # (rb, C)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _row_block(n, c, itemsize, budget=2 * 1024 * 1024):
+    rb = max(1, min(n, budget // (c * itemsize)))
+    while n % rb:
+        rb -= 1
+    return rb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_layer_norm(x, scale, bias, eps: float = 1e-5):
+    """x (..., N, C) → LayerNorm over the last axis."""
+    return _forward(x, scale, bias, eps)
+
+
+def _forward(x, scale, bias, eps):
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    n = 1
+    for d in orig_shape[:-1]:
+        n *= d
+    x2 = x.reshape(n, c)
+    interpret = jax.default_backend() == "cpu"
+    rb = _row_block(n, c, x.dtype.itemsize)
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
+        grid=(n // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, scale, bias)
+    return out.reshape(orig_shape)
+
+
+def _fwd(x, scale, bias, eps):
+    return _forward(x, scale, bias, eps), (x, scale, bias)
+
+
+def _bwd(eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda x_, s_, b_: _jnp_layer_norm(x_, s_, b_, eps),
+                     x, scale, bias)
+    return vjp(g)
+
+
+fused_layer_norm.defvjp(_fwd, _bwd)
+
+
+def layer_norm_auto(x, scale, bias, eps=1e-5, min_fused_elems: int = 1 << 16):
+    """Kernel on TPU for non-trivial sizes, jnp elsewhere."""
+    c = x.shape[-1]
+    total = 1
+    for d in x.shape:
+        total *= d
+    if total >= min_fused_elems and c >= 128 and jax.default_backend() != "cpu":
+        return fused_layer_norm(x, scale, bias, eps)
+    return _jnp_layer_norm(x, scale, bias, eps)

@@ -82,3 +82,19 @@ def test_fused_group_norm_blocked_path_matches_reference():
         ref = group_norm(x, 8, s, b, apply_silu=silu)
         got = fused_group_norm(x, s, b, 8, 1e-5, silu)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_layer_norm_matches_reference():
+    from prompt_diffusion_tpu.ops.fused_layer_norm import (
+        _jnp_layer_norm, fused_layer_norm)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 1024, 320)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(320,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(320,)), jnp.float32)
+    ref = _jnp_layer_norm(x, s, b, 1e-5)
+    got = fused_layer_norm(x, s, b, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g1 = jax.grad(lambda x: fused_layer_norm(x, s, b, 1e-5).sum())(x)
+    g2 = jax.grad(lambda x: _jnp_layer_norm(x, s, b, 1e-5).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
