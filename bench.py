@@ -55,7 +55,12 @@ def bench_sd15(args):
 
     from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
 
-    pipe = PromptDiffusionSD15.create()
+    if args.int8:
+        from prompt_diffusion_tpu.utils.dtypes import int8_policy
+
+        pipe = PromptDiffusionSD15.create(policy=int8_policy())
+    else:
+        pipe = PromptDiffusionSD15.create()
     rng = jax.random.PRNGKey(0)
     log("initializing params (jitted init)...")
     params = jax.jit(lambda r: pipe.init_params(r, image_size=args.size))(rng)
@@ -91,9 +96,10 @@ def bench_sd15(args):
         run(jax.random.PRNGKey(2 + i)).block_until_ready()
         times.append(time.perf_counter() - t0)
     best = min(times)
+    tag = ", int8 serving mode" if args.int8 else ""
     emit(
         f"images/sec/chip (SD1.5 PromptDiffusion {args.size}px, "
-        f"{args.steps}-step DDIM, CFG, batch {b})",
+        f"{args.steps}-step DDIM, CFG, batch {b}{tag})",
         b / best, "img/s", A100_SD15_IMGS_PER_SEC,
     )
     print(
@@ -240,6 +246,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--bf16-params", action="store_true",
                     help="cast weights to bf16 (halves weight HBM traffic)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 W8A8 quantized serving mode for the UNet/"
+                         "ControlNet hot loop (~1.7x MXU rate; see ops/quant.py)")
     args = ap.parse_args()
     {"sd15": bench_sd15, "sd3": bench_sd3,
      "annotate": bench_annotate, "train": bench_train}[args.config](args)

@@ -74,7 +74,17 @@ class GroupNorm32(nn.Module):
         )
 
 
-def conv3x3(features: int, *, stride: int = 1, zero_init: bool = False, dtype=None, name=None):
+def conv3x3(features: int, *, stride: int = 1, zero_init: bool = False, dtype=None,
+            name=None, policy=None):
+    """3×3 conv; `policy=` opts the site into the int8 serving path
+    (param tree identical either way)."""
+    if policy is not None and policy.quant == "int8":
+        from prompt_diffusion_tpu.ops.quant import QuantConv
+
+        return QuantConv(
+            features, kernel_size=(3, 3), strides=(stride, stride), padding=1,
+            zero_init=zero_init, out_dtype=policy.compute_dtype, name=name,
+        )
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
     return nn.Conv(
         features,
@@ -89,7 +99,15 @@ def conv3x3(features: int, *, stride: int = 1, zero_init: bool = False, dtype=No
     )
 
 
-def conv1x1(features: int, *, zero_init: bool = False, dtype=None, name=None):
+def conv1x1(features: int, *, zero_init: bool = False, dtype=None, name=None,
+            policy=None):
+    if policy is not None and policy.quant == "int8":
+        from prompt_diffusion_tpu.ops.quant import QuantConv
+
+        return QuantConv(
+            features, kernel_size=(1, 1), zero_init=zero_init,
+            out_dtype=policy.compute_dtype, name=name,
+        )
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
     return nn.Conv(
         features,
@@ -126,7 +144,7 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb):
         in_ch = x.shape[-1]
         h = GroupNorm32(apply_silu=True, name="in_norm")(x)
-        h = conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="in_conv")(h)
+        h = conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="in_conv", policy=self.policy)(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -143,10 +161,10 @@ class ResBlock(nn.Module):
         else:
             h = h + emb_out.astype(h.dtype)
             h = GroupNorm32(apply_silu=True, name="out_norm")(h)
-        h = conv3x3(self.out_channels, zero_init=True, dtype=self.policy.compute_dtype, name="out_conv")(h)
+        h = conv3x3(self.out_channels, zero_init=True, dtype=self.policy.compute_dtype, name="out_conv", policy=self.policy)(h)
 
         if in_ch != self.out_channels:
-            x = conv1x1(self.out_channels, dtype=self.policy.compute_dtype, name="skip")(x)
+            x = conv1x1(self.out_channels, dtype=self.policy.compute_dtype, name="skip", policy=self.policy)(x)
         return x + h
 
 
@@ -158,7 +176,7 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return conv3x3(self.out_channels, stride=2, dtype=self.policy.compute_dtype, name="conv")(x)
+        return conv3x3(self.out_channels, stride=2, dtype=self.policy.compute_dtype, name="conv", policy=self.policy)(x)
 
 
 class Upsample(nn.Module):
@@ -171,7 +189,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="conv")(x)
+        return conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="conv", policy=self.policy)(x)
 
 
 class ScaledDense(nn.Module):
@@ -208,16 +226,31 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         out_dim = x.shape[-1]
         context = x if context is None else context
-        dense = lambda name: nn.Dense(
-            inner, use_bias=False, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name=name
-        )
+        quant = self.policy.quant == "int8"
+        if quant:
+            from prompt_diffusion_tpu.ops.quant import QuantDense
+
+            dense = lambda name: QuantDense(
+                inner, use_bias=False, out_dtype=self.policy.compute_dtype, name=name
+            )
+        else:
+            dense = lambda name: nn.Dense(
+                inner, use_bias=False, dtype=self.policy.compute_dtype,
+                param_dtype=jnp.float32, name=name
+            )
         # Softmax scale folded into the to_q weights (fp32, before the
         # compute-dtype cast): kills one full (Nq,Nk) fp32 multiply pass per
         # head inside the kernel — measured 8% on the D=40 hot site
         # (tools/attn_lab2.py). Loop-invariant, so XLA hoists the weight
         # scaling out of the sampling scan.
         scale = self.dim_head ** -0.5
-        q = ScaledDense(features=inner, scale=scale, policy=self.policy, name="to_q")(x)
+        if quant:
+            from prompt_diffusion_tpu.ops.quant import QuantDense
+
+            q = QuantDense(inner, use_bias=False, pre_scale=scale,
+                           out_dtype=self.policy.compute_dtype, name="to_q")(x)
+        else:
+            q = ScaledDense(features=inner, scale=scale, policy=self.policy, name="to_q")(x)
         k = dense("to_k")(context)
         v = dense("to_v")(context)
         b, nq = q.shape[:2]
@@ -239,6 +272,11 @@ class CrossAttention(nn.Module):
                 softmax_dtype=self.policy.softmax_dtype, use_flash=False
             )
             out = out.reshape(b, nq, inner)
+        if quant:
+            from prompt_diffusion_tpu.ops.quant import QuantDense
+
+            return QuantDense(out_dim, out_dtype=self.policy.compute_dtype,
+                              name="to_out")(out)
         return nn.Dense(
             out_dim, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="to_out"
         )(out)
@@ -254,12 +292,18 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         inner = dim * self.mult
-        proj = nn.Dense(
-            inner * 2, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="proj"
-        )(x)
+        if self.policy.quant == "int8":
+            from prompt_diffusion_tpu.ops.quant import QuantDense
+
+            dense = lambda f, name: QuantDense(
+                f, out_dtype=self.policy.compute_dtype, name=name)
+        else:
+            dense = lambda f, name: nn.Dense(
+                f, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name=name)
+        proj = dense(inner * 2, "proj")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
         h = h * jax.nn.gelu(gate, approximate=False)
-        return nn.Dense(dim, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name="out")(h)
+        return dense(dim, "out")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -297,12 +341,12 @@ class SpatialTransformer(nn.Module):
         inner = self.heads * self.dim_head
         residual = x
         x = GroupNorm32(eps=1e-6, name="norm")(x)
-        x = conv1x1(inner, dtype=self.policy.compute_dtype, name="proj_in")(x)
+        x = conv1x1(inner, dtype=self.policy.compute_dtype, name="proj_in", policy=self.policy)(x)
         x = x.reshape(b, h * w, inner)
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 heads=self.heads, dim_head=self.dim_head, policy=self.policy, name=f"block_{d}"
             )(x, context=context)
         x = x.reshape(b, h, w, inner)
-        x = conv1x1(c, zero_init=True, dtype=self.policy.compute_dtype, name="proj_out")(x)
+        x = conv1x1(c, zero_init=True, dtype=self.policy.compute_dtype, name="proj_out", policy=self.policy)(x)
         return x + residual

@@ -146,7 +146,7 @@ class UNetSD15(nn.Module):
         h = x
         for i, (kind, out_ch, has_attn) in enumerate(enc_plan):
             if kind == "conv":
-                h = conv3x3(out_ch, dtype=pol.compute_dtype, name=f"input_blocks_{i}_conv")(h)
+                h = conv3x3(out_ch, dtype=pol.compute_dtype, name=f"input_blocks_{i}_conv", policy=pol)(h)
             elif kind == "res":
                 h = self._res(out_ch, f"input_blocks_{i}_res")(h, emb)
                 if has_attn:

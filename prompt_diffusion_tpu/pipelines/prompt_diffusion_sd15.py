@@ -45,7 +45,14 @@ class PromptDiffusionSD15:
     schedule: DiffusionSchedule
 
     @classmethod
-    def create(cls, unet=None, controlnet=None, vae=None, text_encoder=None, schedule=None):
+    def create(cls, unet=None, controlnet=None, vae=None, text_encoder=None, schedule=None,
+               policy=None):
+        """`policy=` overrides the UNet/ControlNet dtype policy (e.g.
+        `int8_policy()` for the quantized serving mode); VAE and CLIP keep
+        their bf16/fp32 defaults — they are not on the denoise hot loop."""
+        if policy is not None:
+            unet = unet or UNetSD15(policy=policy)
+            controlnet = controlnet or ControlNetSD15(policy=policy)
         return cls(
             unet=unet or UNetSD15(),
             controlnet=controlnet or ControlNetSD15(),

@@ -35,6 +35,10 @@ class DTypePolicy:
     compute_dtype: Dtype = jnp.bfloat16
     norm_dtype: Dtype = jnp.float32
     softmax_dtype: Dtype = jnp.float32
+    # "none" | "int8": W8A8 dynamic quantization of the hot convs/denses
+    # (ops/quant.py). Inference-only serving mode — round() has zero
+    # gradient, so trainers must keep "none".
+    quant: str = "none"
 
     def cast_compute(self, x):
         return x.astype(self.compute_dtype)
@@ -42,6 +46,12 @@ class DTypePolicy:
 
 def default_policy() -> DTypePolicy:
     return DTypePolicy()
+
+
+def int8_policy() -> DTypePolicy:
+    """bf16 + int8-quantized matmul/conv serving mode (~1.7× MXU rate on
+    v5e; attention, norms, softmax and once-per-run layers stay bf16/fp32)."""
+    return DTypePolicy(quant="int8")
 
 
 def fp32_policy() -> DTypePolicy:

@@ -1,0 +1,112 @@
+"""int8 W8A8 serving-mode tests (ops/quant.py + policy routing).
+
+Quantization error bounds are statistical, not exact: per-channel weights
++ per-tensor dynamic activations give ~1% relative error per layer on
+well-conditioned inputs. The e2e test checks the int8 tiny pipeline stays
+close to the bf16 one in image space.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prompt_diffusion_tpu.ops.quant import QuantConv, QuantDense
+from prompt_diffusion_tpu.utils.dtypes import DTypePolicy, int8_policy
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+
+
+def test_quant_dense_close_to_fp32():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 64, 320)), jnp.float32)
+    m = QuantDense(128, out_dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    got = m.apply(params, x)
+    w = params["params"]["kernel"]
+    b = params["params"]["bias"]
+    ref = x @ w + b
+    assert _rel_err(got, ref) < 0.02
+
+
+def test_quant_dense_pre_scale():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 64)), jnp.float32)
+    m = QuantDense(32, use_bias=False, pre_scale=0.125, out_dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    got = m.apply(params, x)
+    ref = (x @ params["params"]["kernel"]) * 0.125
+    assert _rel_err(got, ref) < 0.02
+
+
+def test_quant_conv_close_to_fp32():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 64)), jnp.float32)
+    m = QuantConv(32, kernel_size=(3, 3), padding=1, out_dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    got = m.apply(params, x)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, params["params"]["kernel"].shape, ("NHWC", "HWIO", "NHWC"))
+    ref = jax.lax.conv_general_dilated(
+        x, params["params"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=dn) + params["params"]["bias"]
+    assert _rel_err(got, ref) < 0.03
+
+
+def test_quant_conv_zero_weights_exact_zero():
+    """Fresh zero-convs must stay EXACTLY zero through quantization
+    (zero-init ControlNet taps are a correctness contract, not a tolerance)."""
+    x = jnp.ones((1, 8, 8, 16))
+    m = QuantConv(8, kernel_size=(1, 1), zero_init=True, use_bias=True,
+                  out_dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out), np.zeros_like(np.asarray(out)))
+
+
+def test_param_tree_identical_to_bf16():
+    """int8 and bf16 policies must init bit-identical param trees, so one
+    imported checkpoint serves both modes."""
+    from prompt_diffusion_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+
+    cfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                     attention_resolutions=(1,), num_heads=4, context_dim=64)
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 64))
+    p_bf16 = UNetSD15(config=cfg).init(jax.random.PRNGKey(0), x, t, ctx)
+    p_int8 = UNetSD15(config=cfg, policy=int8_policy()).init(
+        jax.random.PRNGKey(0), x, t, ctx)
+    s_bf16 = jax.tree_util.tree_structure(p_bf16)
+    s_int8 = jax.tree_util.tree_structure(p_int8)
+    assert s_bf16 == s_int8
+    for a, b in zip(jax.tree_util.tree_leaves(p_bf16),
+                    jax.tree_util.tree_leaves(p_int8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_unet_close_to_fp32_unet():
+    """Whole tiny UNet with live weights: int8 output tracks fp32 within a
+    few percent relative error."""
+    from tests.test_pipeline_sd15 import _perturb_zero_init
+    from prompt_diffusion_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from prompt_diffusion_tpu.utils.dtypes import fp32_policy
+
+    cfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                     attention_resolutions=(1,), num_heads=4, context_dim=64)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([10, 500], jnp.int32)
+    ctx = jnp.asarray(rng.normal(size=(2, 77, 64)), jnp.float32)
+    params = _perturb_zero_init(
+        UNetSD15(config=cfg).init(jax.random.PRNGKey(0), x, t, ctx), scale=0.05)
+    ref = UNetSD15(config=cfg, policy=fp32_policy()).apply(params, x, t, ctx)
+    got = UNetSD15(
+        config=cfg,
+        policy=DTypePolicy(compute_dtype=jnp.float32, quant="int8"),
+    ).apply(params, x, t, ctx)
+    assert np.isfinite(np.asarray(got)).all()
+    assert _rel_err(got, ref) < 0.12

@@ -1,0 +1,116 @@
+"""Is int8 worth it on this chip? (dev tool)
+
+Measures bf16 vs int8 MXU throughput on the bench's actual hot shapes:
+the 64² 3×3 convs (320ch) and the GEGLU FF matmuls. v5e datasheet says
+394 TOPS int8 vs 197 TFLOP/s bf16 — this verifies XLA actually lowers
+int8 convolutions/dots to the fast path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, args, label, flops, trips):
+    fj = jax.jit(fn)
+    jax.block_until_ready(fj(*args))
+    best = 1e9
+    for i in range(1, 4):
+        # perturb the first arg — identical (program, inputs) executions are
+        # served from a cache on this runtime
+        a0 = args[0]
+        bump = jnp.ones((), a0.dtype) * jnp.asarray(i, a0.dtype) if a0.dtype != jnp.int8 \
+            else jnp.int8(i)
+        pert = (a0 + bump,) + tuple(args[1:])
+        jax.block_until_ready(pert)
+        t0 = time.perf_counter()
+        float(jnp.asarray(fj(*pert), jnp.float32))
+        best = min(best, time.perf_counter() - t0)
+    per = best / trips
+    print(f"{label}: {per * 1e3:.2f} ms  {flops / per / 1e12:.1f} T(FL)OP/s")
+    return per
+
+
+def main():
+    n = 20
+    B, H, W, C = 8, 64, 64, 320
+
+    # --- 3x3 conv, 320ch (in_conv shape) ---------------------------------
+    xb = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C), jnp.bfloat16)
+    wb = jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, C), jnp.bfloat16)
+    dn = jax.lax.conv_dimension_numbers(xb.shape, wb.shape, ("NHWC", "HWIO", "NHWC"))
+    flops = 2 * B * H * W * C * C * 9 * n
+
+    def conv_bf16(x, w):
+        def body(c, i):
+            o = jax.lax.conv_general_dilated(x + i.astype(jnp.bfloat16), w,
+                                             (1, 1), "SAME", dimension_numbers=dn)
+            return c + jnp.sum(o.astype(jnp.float32)), None
+        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+
+    timed(conv_bf16, (xb, wb), "conv3x3 320ch bf16", flops, n)
+
+    xi = (jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C)) * 20).astype(jnp.int8)
+    wi = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, C)) * 20).astype(jnp.int8)
+
+    def conv_int8(x, w):
+        def body(c, i):
+            o = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            return c + jnp.sum(o) + i * 0, None
+        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+
+    timed(conv_int8, (xi, wi), "conv3x3 320ch int8", flops, n)
+
+    # --- GEGLU FF dot: (B*N, 320) @ (320, 2560) --------------------------
+    M, K, N2 = B * H * W, C, 2560
+    a = jax.random.normal(jax.random.PRNGKey(2), (M, K), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(3), (K, N2), jnp.bfloat16)
+    dflops = 2 * M * K * N2 * n
+
+    def dot_bf16(a, b):
+        def body(c, i):
+            o = jnp.dot(a + i.astype(jnp.bfloat16), b)
+            return c + jnp.sum(o.astype(jnp.float32)), None
+        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+
+    timed(dot_bf16, (a, b), "dense 320->2560 bf16", dflops, n)
+
+    ai = (np.random.default_rng(0).normal(size=(M, K)) * 20).astype(np.int8)
+    bi = (np.random.default_rng(1).normal(size=(K, N2)) * 20).astype(np.int8)
+    ai, bi = jnp.asarray(ai), jnp.asarray(bi)
+
+    def dot_int8(a, b):
+        def body(c, i):
+            o = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return c + jnp.sum(o) + i * 0, None
+        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+
+    timed(dot_int8, (ai, bi), "dense 320->2560 int8", dflops, n)
+
+    # --- K=4096 self-attn-like dot (D=40 padded vs int8) ------------------
+    q = jax.random.normal(jax.random.PRNGKey(4), (B * 8, 4096, 40), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(5), (B * 8, 4096, 40), jnp.bfloat16)
+    aflops = 2 * (B * 8) * 4096 * 4096 * 40 * n
+
+    def qk_bf16(q, k):
+        def body(c, i):
+            o = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))))
+            return c + jnp.sum(o.astype(jnp.float32)), None
+        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+
+    timed(qk_bf16, (q, k), "qk^T D=40 bf16", aflops, n)
+
+
+if __name__ == "__main__":
+    main()
