@@ -122,16 +122,19 @@ def bench_sd3(args):
     b = args.batch if args.batch != 4 else 1
 
     pipe = PromptDiffusionSD3.create()  # drop_t5 mode (zero-padded T5 slots)
-    log("initializing SD3 params (jitted init)...")
-    params = jax.jit(lambda r: pipe.init_params(r, image_size=size, batch=1))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    if args.bf16_params:
-        from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
+    log("initializing SD3 params (jitted init, bf16 weights)...")
+    # bf16 weights: the fp32 SD3 stack + 1024² activations exceed one chip's
+    # HBM, and the reference serves SD3 in fp16 (torch_dtype=torch.float16
+    # quickstart) — halved-precision weights ARE the reference-parity
+    # configuration. Init+cast in ONE program so XLA frees each fp32
+    # init buffer right after its cast.
+    from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
 
-        params = jax.jit(cast_params_bf16)(params)
-        jax.block_until_ready(params)
-    log("params ready")
+    params = jax.jit(
+        lambda r: cast_params_bf16(pipe.init_params(r, image_size=size, batch=1))
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log("params ready (bf16 weights)")
 
     ids = {"l": jnp.zeros((b, 77), jnp.int32), "g": jnp.zeros((b, 77), jnp.int32)}
     img = jnp.zeros((b, size, size, 3), jnp.float32)
@@ -228,8 +231,15 @@ def bench_train(args):
     trainable = {"controlnet": params["controlnet"]}
     tx = make_optimizer(cfg, trainable)
     state = init_train_state(cfg, params, tx)
-    frozen = {k: v for k, v in params.items() if k != "controlnet"}
-    step = jax.jit(make_train_step(pipe, cfg, tx))
+    # frozen nets need no fp32 master copies — bf16 storage halves their
+    # 4.3 GB so params + Adam + remat activations fit one 16 GB chip
+    from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
+
+    frozen = jax.jit(cast_params_bf16)(
+        {k: v for k, v in params.items() if k != "controlnet"})
+    jax.block_until_ready(frozen)
+    del params
+    step = jax.jit(make_train_step(pipe, cfg, tx), donate_argnums=(0,))
 
     batch = {
         "image": jnp.zeros((b, size, size, 3), jnp.float32),

@@ -26,6 +26,9 @@ TINY_UNET = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
                        attention_resolutions=(1,), num_heads=4, context_dim=64)
 
 
+pytestmark = pytest.mark.slow  # multi-minute on CPU; fast tier: -m 'not slow'
+
+
 def _leaves(tree, prefix=""):
     if isinstance(tree, dict):
         out = {}

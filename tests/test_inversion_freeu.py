@@ -13,6 +13,8 @@ from prompt_diffusion_tpu.schedulers.ddim import (
 )
 from prompt_diffusion_tpu.schedulers.schedules import DiffusionSchedule
 
+pytestmark = pytest.mark.slow  # multi-minute on CPU; fast tier: -m 'not slow'
+
 SCHED = DiffusionSchedule.create()
 
 

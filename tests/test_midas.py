@@ -13,6 +13,8 @@ from prompt_diffusion_tpu.annotators.midas import (
 )
 from prompt_diffusion_tpu.utils.dtypes import fp32_policy
 
+pytestmark = pytest.mark.slow  # multi-minute on CPU; fast tier: -m 'not slow'
+
 TINY = DPTConfig(hidden_size=64, num_layers=4, num_heads=4, hooks=(0, 1, 2, 3),
                  reassemble_dims=(32, 64, 64, 64), features=32, pos_grid=4)
 

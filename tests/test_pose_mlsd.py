@@ -15,6 +15,9 @@ from prompt_diffusion_tpu.annotators.openpose import (
 )
 
 
+pytestmark = pytest.mark.slow  # multi-minute on CPU; fast tier: -m 'not slow'
+
+
 def test_bodypose_net_shapes():
     net = BodyPoseNet()
     x = jnp.zeros((1, 64, 64, 3))

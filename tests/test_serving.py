@@ -24,6 +24,9 @@ from prompt_diffusion_tpu.serving import (
 )
 
 
+pytestmark = pytest.mark.slow  # multi-minute on CPU; fast tier: -m 'not slow'
+
+
 def _req(seed=0, steps=2, guidance=9.0, control=1.0):
     rng = np.random.default_rng(seed + 100)
     return GenerationRequest(

@@ -14,6 +14,8 @@ from prompt_diffusion_tpu.annotators.uniformer import (
 )
 from prompt_diffusion_tpu.utils.dtypes import fp32_policy
 
+pytestmark = pytest.mark.slow  # multi-minute on CPU; fast tier: -m 'not slow'
+
 TINY = UniFormerConfig(embed_dims=(8, 16, 32, 64), depths=(1, 1, 2, 1),
                        head_dim=16, num_classes=150, decode_channels=32)
 
