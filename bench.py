@@ -121,7 +121,12 @@ def bench_sd3(args):
     steps = args.steps if args.steps != 50 else 28
     b = args.batch if args.batch != 4 else 1
 
-    pipe = PromptDiffusionSD3.create()  # drop_t5 mode (zero-padded T5 slots)
+    if args.int8:
+        from prompt_diffusion_tpu.utils.dtypes import int8_policy
+
+        pipe = PromptDiffusionSD3.create(policy=int8_policy())
+    else:
+        pipe = PromptDiffusionSD3.create()  # drop_t5 mode (zero-padded T5 slots)
     log("initializing SD3 params (jitted init, bf16 weights)...")
     # bf16 weights: the fp32 SD3 stack + 1024² activations exceed one chip's
     # HBM, and the reference serves SD3 in fp16 (torch_dtype=torch.float16
@@ -160,7 +165,8 @@ def bench_sd3(args):
     best = min(times)
     emit(
         f"images/sec/chip (SD3 PromptDiffusion {size}px, {steps}-step "
-        f"FlowMatchEuler, CFG, batch {b})",
+        f"FlowMatchEuler, CFG, batch {b}"
+        f"{', int8 serving mode' if args.int8 else ''})",
         b / best, "img/s", A100_SD3_IMGS_PER_SEC,
     )
     print(f"compile_s={compile_s:.1f} times={[round(t, 2) for t in times]}",

@@ -159,11 +159,21 @@ class JointBlock(nn.Module):
         cfg, pol = self.config, self.policy
         dim = cfg.hidden_size
         heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
-        dense = lambda n, name, zero=False: nn.Dense(
-            n, dtype=pol.compute_dtype, param_dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
-            name=name,
-        )
+        if pol.quant == "int8":
+            # the block's projections/FFs are the MMDiT FLOP bulk and are
+            # high-arithmetic-intensity (4k+ tokens × 1536) — the shapes
+            # where W8A8 actually pays (unlike the SD1.5 convs, see
+            # docs/ROADMAP.md); AdaLN modulation + norms stay bf16/fp32
+            from prompt_diffusion_tpu.ops.quant import QuantDense
+
+            dense = lambda n, name, zero=False: QuantDense(
+                n, out_dtype=pol.compute_dtype, name=name)
+        else:
+            dense = lambda n, name, zero=False: nn.Dense(
+                n, dtype=pol.compute_dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
+                name=name,
+            )
 
         h_mod, h_gate, h_shift_mlp, h_scale_mlp, h_gate_mlp = AdaLayerNormZero(
             pol, name="norm1"

@@ -44,11 +44,17 @@ class PromptDiffusionSD3:
 
     @classmethod
     def create(cls, transformer=None, controlnet=None, vae=None,
-               clip_l=None, clip_g=None, t5=None):
+               clip_l=None, clip_g=None, t5=None, policy=None):
+        """`policy=` overrides the transformer/controlnet dtype policy (e.g.
+        `int8_policy()` — W8A8 on the JointBlock projections/FFs, where SD3's
+        arithmetic intensity makes int8 pay; VAE/text encoders keep defaults)."""
         from prompt_diffusion_tpu.models.clip_text import CLIPTextConfig
         from prompt_diffusion_tpu.models.mmdit_sd3 import MMDiTConfig
         from prompt_diffusion_tpu.models.vae import VAEConfig
 
+        if policy is not None:
+            transformer = transformer or SD3Transformer(policy=policy)
+            controlnet = controlnet or SD3ControlNet(policy=policy)
         sd3_vae = VAEConfig(z_channels=16, scale_factor=1.5305, shift_factor=0.0609)
         return cls(
             transformer=transformer or SD3Transformer(),

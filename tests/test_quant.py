@@ -110,3 +110,34 @@ def test_int8_unet_close_to_fp32_unet():
     ).apply(params, x, t, ctx)
     assert np.isfinite(np.asarray(got)).all()
     assert _rel_err(got, ref) < 0.12
+
+
+def test_sd3_jointblock_int8_close_and_tree_identical():
+    """SD3 JointBlock: int8 policy keeps the param tree identical and the
+    output within a few percent of fp32."""
+    from prompt_diffusion_tpu.models.mmdit_sd3 import JointBlock, MMDiTConfig
+    from prompt_diffusion_tpu.utils.dtypes import fp32_policy
+
+    cfg = MMDiTConfig(num_layers=2, num_attention_heads=4, attention_head_dim=16,
+                      joint_attention_dim=64, pooled_projection_dim=64)
+    rng = np.random.default_rng(7)
+    hidden = jnp.asarray(rng.normal(size=(2, 64, 64)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 8, 64)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(2, 64)), jnp.float32)
+
+    blk32 = JointBlock(config=cfg, policy=fp32_policy())
+    params = blk32.init(jax.random.PRNGKey(0), hidden, ctx, emb)
+    # live projections (AdaLN proj is zero-init -> gates are 0 otherwise)
+    from tests.test_pipeline_sd15 import _perturb_zero_init
+
+    params = _perturb_zero_init(params, scale=0.05)
+    ref_h, ref_c = blk32.apply(params, hidden, ctx, emb)
+
+    blk8 = JointBlock(config=cfg,
+                      policy=DTypePolicy(compute_dtype=jnp.float32, quant="int8"))
+    p8 = blk8.init(jax.random.PRNGKey(0), hidden, ctx, emb)
+    assert jax.tree_util.tree_structure(p8) == jax.tree_util.tree_structure(
+        blk32.init(jax.random.PRNGKey(0), hidden, ctx, emb))
+    got_h, got_c = blk8.apply(params, hidden, ctx, emb)
+    assert _rel_err(got_h, ref_h) < 0.05
+    assert _rel_err(got_c, ref_c) < 0.05
