@@ -25,7 +25,10 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--stack", choices=["sd15", "sd3"], default="sd15")
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--random-init", action="store_true",
+                   help="random-weight params instead of --ckpt — smoke/e2e "
+                        "mechanics testing without model assets")
     p.add_argument("--data-root", required=True)
     p.add_argument("--dataset", choices=["laion", "coco"], default="laion")
     p.add_argument("--tasks", nargs="+", default=["hed"])
@@ -64,11 +67,18 @@ def main():
         from prompt_diffusion_tpu.tools.diffusers_import import import_diffusers_folder
 
         pipe = PromptDiffusionSD15.create()
-        params = (
-            import_diffusers_folder(args.ckpt)
-            if os.path.isdir(args.ckpt)
-            else import_ldm_checkpoint(args.ckpt)
-        )
+        if args.random_init:
+            params = jax.jit(
+                lambda r: pipe.init_params(r, image_size=args.resolution)
+            )(jax.random.PRNGKey(args.seed))
+        elif args.ckpt is None:
+            raise SystemExit("--ckpt is required (or pass --random-init)")
+        else:
+            params = (
+                import_diffusers_folder(args.ckpt)
+                if os.path.isdir(args.ckpt)
+                else import_ldm_checkpoint(args.ckpt)
+            )
         _sd15_gen = pipe.jit_generate()
 
         def gen(params, key, ids, neg, pair, query, num_steps, guidance_scale,
@@ -88,7 +98,16 @@ def main():
 
             t5 = T5Encoder()
         pipe = PromptDiffusionSD3.create(t5=t5)
-        params = import_sd3_folder(args.ckpt)
+        if args.random_init:
+            from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
+
+            params = jax.jit(lambda r: cast_params_bf16(
+                pipe.init_params(r, image_size=args.resolution)
+            ))(jax.random.PRNGKey(args.seed))
+        elif args.ckpt is None:
+            raise SystemExit("--ckpt is required (or pass --random-init)")
+        else:
+            params = import_sd3_folder(args.ckpt)
         if t5 is not None and "t5" not in params:
             raise SystemExit(
                 "--t5-assets given but the checkpoint folder has no "
