@@ -34,8 +34,14 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # he_normal: with the random-weight fallback (no pt_inception file)
+        # lecun init shrinks activations ~0.8× per ReLU layer → features
+        # collapse to ~1e-4 after 90 layers and rank-only FID comparisons
+        # read 0.00; variance-preserving init keeps random features O(1).
+        # Irrelevant when real weights are imported (params overwritten).
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
                     padding=self.padding, use_bias=False,
+                    kernel_init=nn.initializers.he_normal(),
                     dtype=jnp.float32, name="conv")(x)
         # inference-mode BN from imported running stats
         c = x.shape[-1]
