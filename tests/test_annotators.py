@@ -23,7 +23,17 @@ def test_canny_matches_cv2_on_synthetic():
     cv2.circle(img, (64, 64), 20, 80, -1)
     ref = cv2.Canny(img, 100, 200)
     got = np.asarray(canny(jnp.asarray(img[None].astype(np.float32)), 100.0, 200.0))[0]
-    assert _iou(got, ref) > 0.6  # same edges modulo 1px NMS placement
+    # strict overlap, plus 1px-tolerance precision/recall (sub-pixel NMS
+    # placement differs by ≤1px between the implementations; measured:
+    # strict 0.85, dilated precision 1.00, recall 0.95)
+    assert _iou(got, ref) > 0.8
+    k = np.ones((3, 3), np.uint8)
+    ref_d = cv2.dilate((ref > 0).astype(np.uint8), k) > 0
+    got_d = cv2.dilate((got > 0).astype(np.uint8), k) > 0
+    precision = ((got > 0) & ref_d).sum() / max((got > 0).sum(), 1)
+    recall = ((ref > 0) & got_d).sum() / max((ref > 0).sum(), 1)
+    assert precision >= 0.99, "spurious edges beyond 1px of cv2's"
+    assert recall >= 0.90, "missing edges cv2 finds"
 
 
 def test_canny_batched_shapes():
