@@ -56,17 +56,29 @@ class FusedLayerNorm(nn.Module):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm with fp32 statistics (GroupNorm32, util.py:217-219)."""
+    """GroupNorm with fp32 statistics (GroupNorm32, util.py:217-219).
+
+    `quant_out=True` (int8 serving mode, when the sole consumer is a
+    QuantConv) emits `(int8 activation, per-sample scale)` from the GN
+    kernel's fused epilogue — the activation is quantized while still
+    VMEM-resident, so W8A8 costs no extra HBM passes."""
 
     num_groups: int = 32
     eps: float = 1e-5
     apply_silu: bool = False
+    quant_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.quant_out:
+            from prompt_diffusion_tpu.ops.fused_group_norm import fused_group_norm_quant
+
+            return fused_group_norm_quant(
+                x, scale, bias, self.num_groups, eps=self.eps,
+                apply_silu=self.apply_silu)
         from prompt_diffusion_tpu.ops.fused_group_norm import group_norm_auto
 
         return group_norm_auto(
@@ -143,7 +155,8 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         in_ch = x.shape[-1]
-        h = GroupNorm32(apply_silu=True, name="in_norm")(x)
+        q8 = self.policy.quant == "int8" and not self.use_scale_shift_norm
+        h = GroupNorm32(apply_silu=True, quant_out=q8, name="in_norm")(x)
         h = conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="in_conv", policy=self.policy)(h)
 
         emb_out = nn.Dense(
@@ -160,7 +173,7 @@ class ResBlock(nn.Module):
             h = jax.nn.silu(h)
         else:
             h = h + emb_out.astype(h.dtype)
-            h = GroupNorm32(apply_silu=True, name="out_norm")(h)
+            h = GroupNorm32(apply_silu=True, quant_out=q8, name="out_norm")(h)
         h = conv3x3(self.out_channels, zero_init=True, dtype=self.policy.compute_dtype, name="out_conv", policy=self.policy)(h)
 
         if in_ch != self.out_channels:
@@ -340,7 +353,7 @@ class SpatialTransformer(nn.Module):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
-        x = GroupNorm32(eps=1e-6, name="norm")(x)
+        x = GroupNorm32(eps=1e-6, quant_out=self.policy.quant == "int8", name="norm")(x)
         x = conv1x1(inner, dtype=self.policy.compute_dtype, name="proj_in", policy=self.policy)(x)
         x = x.reshape(b, h * w, inner)
         for d in range(self.depth):

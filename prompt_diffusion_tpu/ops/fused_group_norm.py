@@ -51,6 +51,73 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, avg_ref, o_ref, *, eps: float,
     o_ref[0] = out.reshape(h, w, c).astype(o_ref.dtype)
 
 
+def _gn_quant_kernel(x_ref, scale_ref, bias_ref, avg_ref, oq_ref, os_ref, *,
+                     eps: float, apply_silu: bool):
+    """GN(+SiLU) with an int8 epilogue: while the normalized activation is
+    still VMEM-resident, compute the per-sample amax and emit int8 + scale.
+    This is the 'fused quantization' path that makes W8A8 pay — the
+    standalone dynamic quantization costs an extra amax pass + round/clip
+    pass per site (measured: standalone int8 is *slower* end-to-end on
+    SD1.5, docs/ROADMAP.md)."""
+    x = x_ref[0]  # (H, W, C)
+    h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(h * w, c)
+    ch_mean = jnp.mean(xf, axis=0, keepdims=True)
+    ch_sq = jnp.mean(jnp.square(xf), axis=0, keepdims=True)
+    avg = avg_ref[:]
+    g_mean = jnp.dot(ch_mean, avg, preferred_element_type=jnp.float32)
+    g_sq = jnp.dot(ch_sq, avg, preferred_element_type=jnp.float32)
+    var = g_sq - jnp.square(g_mean)
+    inv = jax.lax.rsqrt(var + eps)
+    scale = scale_ref[:].astype(jnp.float32) * inv
+    shift = bias_ref[:].astype(jnp.float32) - g_mean * scale
+    out = xf * scale + shift
+    if apply_silu:
+        out = out * jax.nn.sigmoid(out)
+    s_a = jnp.maximum(jnp.max(jnp.abs(out)) / 127.0, 1e-8)
+    oq = jnp.clip(jnp.round(out / s_a), -127, 127)
+    oq_ref[0] = oq.reshape(h, w, c).astype(jnp.int8)
+    # Mosaic requires full (8,128) output tiles — broadcast the scalar
+    os_ref[0] = jnp.full((8, 128), s_a, jnp.float32)
+
+
+def fused_group_norm_quant(x, scale, bias, num_groups: int, eps: float = 1e-5,
+                           apply_silu: bool = False):
+    """GroupNorm(+SiLU) → (int8 activation, per-sample fp32 scale (B,)).
+    Inference-only (no VJP); row must fit one VMEM block. CPU falls back to
+    jnp + explicit quantization (tests)."""
+    b, h, w, c = x.shape
+    if jax.default_backend() == "cpu" or h * w * c * 2 > 8 * 1024 * 1024:
+        out = _jnp_group_norm(x, num_groups, scale, bias, eps=eps,
+                              apply_silu=apply_silu).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(out), axis=(1, 2, 3))
+        s_a = jnp.maximum(amax / 127.0, 1e-8)
+        oq = jnp.clip(jnp.round(out / s_a[:, None, None, None]), -127, 127)
+        return oq.astype(jnp.int8), s_a
+    avg = jnp.asarray(_group_avg_matrix(c, num_groups))
+    oq, s_a = pl.pallas_call(
+        functools.partial(_gn_quant_kernel, eps=eps, apply_silu=apply_silu),
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.int8),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        ],
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=False,
+    )(x, scale, bias, avg)
+    return oq, s_a[:, 0, 0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-5,
                      apply_silu: bool = False):

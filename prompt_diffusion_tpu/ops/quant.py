@@ -65,14 +65,21 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        """`x` is either a float activation (dynamic per-tensor quant here)
+        or a pre-quantized `(int8 tensor, per-sample scale (B,))` pair from
+        a producing GN/LN kernel's fused int8 epilogue."""
+        if isinstance(x, tuple):
+            xq, s_a = x
+            s_a = s_a.reshape(-1, 1, 1, 1)
+        else:
+            xq, s_a = _quant_act(x)
         kh, kw = self.kernel_size
-        cin = x.shape[-1]
+        cin = xq.shape[-1]
         init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
         kernel = self.param("kernel", init, (kh, kw, cin, self.features), jnp.float32)
         wq, s_w = _quant_weight(kernel, reduce_axes=(0, 1, 2))  # (1,1,1,Cout)
-        xq, s_a = _quant_act(x)
         pad = [(self.padding, self.padding)] * 2
-        dn = jax.lax.conv_dimension_numbers(x.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+        dn = jax.lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
         o = jax.lax.conv_general_dilated(
             xq, wq, self.strides, pad, dimension_numbers=dn,
             preferred_element_type=jnp.int32,
