@@ -121,6 +121,7 @@ class PromptDiffusionSD3:
         guidance_scale: float = 7.0,
         controlnet_conditioning_scale: float = 1.0,
         shift: float = 3.0,
+        init_noise=None,
     ) -> jnp.ndarray:
         b, img_h, img_w, _ = control_image.shape
         lat_h, lat_w = img_h // 8, img_w // 8
@@ -145,7 +146,12 @@ class PromptDiffusionSD3:
         timesteps = jnp.asarray(timesteps_np, jnp.float32)
         sigmas = jnp.asarray(sigmas_np, jnp.float32)
 
-        x = jax.random.normal(r_noise, (b, lat_h, lat_w, zc), dtype=jnp.float32)
+        if init_noise is None:
+            x = jax.random.normal(r_noise, (b, lat_h, lat_w, zc), dtype=jnp.float32)
+        else:
+            # caller-supplied x_T — per-request determinism in the serving
+            # batcher (same contract as the SD1.5 pipeline)
+            x = init_noise.astype(jnp.float32)
 
         def body(x, i):
             t2 = jnp.full((2 * b,), timesteps[i], dtype=jnp.float32)

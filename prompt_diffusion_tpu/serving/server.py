@@ -60,6 +60,33 @@ class GenerationRequest:
 
 
 @dataclasses.dataclass
+class SD3GenerationRequest:
+    """One SD3 Prompt-Diffusion job (1024² MMDiT stack)."""
+
+    token_ids_l: np.ndarray  # (77,) int32 CLIP-L ids
+    token_ids_g: np.ndarray  # (77,) int32 CLIP-G ids
+    neg_ids_l: np.ndarray
+    neg_ids_g: np.ndarray
+    support_cond: np.ndarray  # (H, W, 3) [-1, 1]
+    support_image: np.ndarray  # (H, W, 3) [-1, 1]
+    query: np.ndarray  # (H, W, 3) [-1, 1]
+    t5_ids: Optional[np.ndarray] = None  # (L,) int32, requires pipe.t5
+    num_steps: int = 28
+    guidance_scale: float = 7.0
+    control_scale: float = 1.0
+    shift: float = 3.0
+    seed: int = 0
+
+    def bucket_key(self):
+        h, w, _ = self.query.shape
+        # control_scale is applied on token-space residual tuples inside
+        # the controlnet — kept per-bucket (unlike guidance, which batches
+        # per-sample through the CFG combine)
+        return (h, w, self.num_steps, self.shift, self.control_scale,
+                self.t5_ids is not None)
+
+
+@dataclasses.dataclass
 class ServerConfig:
     max_batch: int = 8
     flush_ms: float = 10.0
@@ -76,11 +103,12 @@ class GenerationServer:
         image = fut.result()              # (H, W, 3) float32 in [0, 1]
     """
 
-    def __init__(self, pipe, params, config: Optional[ServerConfig] = None):
+    def __init__(self, pipe, params, config: Optional[ServerConfig] = None,
+                 adapter: Optional["PipelineAdapter"] = None):
         self.pipe = pipe
         self.params = params
         self.config = config or ServerConfig()
-        self._gen = pipe.jit_generate()
+        self._adapter = adapter or SD15Adapter(pipe)
         self._queue: "queue.Queue" = queue.Queue(self.config.queue_size)
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -168,12 +196,32 @@ class GenerationServer:
                     if not f.done():
                         f.set_exception(e)
 
-    def _execute(self, reqs: Sequence[GenerationRequest]) -> np.ndarray:
+    def _execute(self, reqs: Sequence) -> np.ndarray:
         n = len(reqs)
         bucket = self._bucket_size(n)
         padded = reqs + [reqs[-1]] * (bucket - n)
-        r0 = padded[0]
+        images = self._adapter.execute(self.params, padded)
+        out = np.asarray(images[:n])
+        self.stats["requests"] += n
+        self.stats["batches"] += 1
+        self.stats["padded_slots"] += bucket - n
+        return out
 
+
+class PipelineAdapter:
+    """Builds batched arrays from padded same-bucket requests and runs the
+    jitted pipeline once."""
+
+    def execute(self, params, padded):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class SD15Adapter(PipelineAdapter):
+    def __init__(self, pipe):
+        self._gen = pipe.jit_generate()
+
+    def execute(self, params, padded):
+        r0 = padded[0]
         ids = jnp.asarray(np.stack([r.token_ids for r in padded]), jnp.int32)
         neg = jnp.asarray(np.stack([r.neg_token_ids for r in padded]), jnp.int32)
         pair = jnp.asarray(np.stack([r.example_pair for r in padded]), jnp.float32)
@@ -195,8 +243,8 @@ class GenerationServer:
                 (h // 8, w // 8, 4), jnp.float32)
         )(seeds)
 
-        images = self._gen(
-            self.params, jax.random.PRNGKey(0), ids, neg, pair, qry,
+        return self._gen(
+            params, jax.random.PRNGKey(0), ids, neg, pair, qry,
             num_steps=r0.num_steps,
             guidance_scale=guidance,
             control_scale=control,
@@ -204,8 +252,43 @@ class GenerationServer:
             guess_mode=r0.guess_mode,
             init_noise=noise,
         )
-        out = np.asarray(images[:n])
-        self.stats["requests"] += n
-        self.stats["batches"] += 1
-        self.stats["padded_slots"] += bucket - n
-        return out
+
+
+class SD3Adapter(PipelineAdapter):
+    """SD3 MMDiT stack: per-sample traced guidance + seed-deterministic
+    x_T; control_scale and shift split buckets (token-space residual
+    scaling is per-bucket)."""
+
+    def __init__(self, pipe):
+        self.pipe = pipe
+        self._gen = pipe.jit_generate()
+
+    def execute(self, params, padded):
+        r0 = padded[0]
+        st = lambda field, dt: jnp.asarray(
+            np.stack([getattr(r, field) for r in padded]), dt)
+        pd = {"l": st("token_ids_l", jnp.int32), "g": st("token_ids_g", jnp.int32)}
+        nd = {"l": st("neg_ids_l", jnp.int32), "g": st("neg_ids_g", jnp.int32)}
+        if r0.t5_ids is not None:
+            pd["t5"] = st("t5_ids", jnp.int32)
+            nd["t5"] = jnp.zeros_like(pd["t5"])
+        guidance = jnp.asarray(
+            [r.guidance_scale for r in padded], jnp.float32)[:, None, None, None]
+        h, w, _ = r0.query.shape
+        zc = self.pipe.vae.config.z_channels
+        seeds = jnp.asarray([r.seed for r in padded], jnp.uint32)
+        noise = jax.vmap(
+            lambda s: jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(0), s),
+                (h // 8, w // 8, zc), jnp.float32)
+        )(seeds)
+        return self._gen(
+            params, jax.random.PRNGKey(0), pd, nd,
+            st("query", jnp.float32), st("support_cond", jnp.float32),
+            st("support_image", jnp.float32),
+            num_steps=r0.num_steps,
+            guidance_scale=guidance,
+            controlnet_conditioning_scale=r0.control_scale,
+            shift=r0.shift,
+            init_noise=noise,
+        )

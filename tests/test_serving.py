@@ -16,6 +16,7 @@ from tests.test_pipeline_sd15 import (  # fixture reuse  # noqa: F401
     _perturb_zero_init,
     tiny_pipeline,
 )
+from tests.test_sd3 import sd3  # fixture reuse  # noqa: F401
 
 from prompt_diffusion_tpu.serving import (
     GenerationRequest,
@@ -100,4 +101,33 @@ def test_per_request_scales_in_one_batch(server):
     alt = _req(seed=60, guidance=9.0, control=0.2)
     fa, fb = server.submit(base), server.submit(alt)
     a, b = fa.result(timeout=300), fb.result(timeout=300)
+    assert not np.array_equal(a, b)
+
+
+def test_sd3_adapter_serves_requests(sd3):
+    """SD3 stack through the same batcher: tiny MMDiT pipeline (fixture
+    from test_sd3), two concurrent requests with different guidance and
+    seeds share one execution."""
+    from prompt_diffusion_tpu.serving import SD3Adapter, SD3GenerationRequest
+
+    pipe, params = sd3
+    res = 64
+    rng = np.random.default_rng(0)
+
+    def req(seed, g):
+        mk = lambda: rng.uniform(-1, 1, (res, res, 3)).astype(np.float32)
+        ids = lambda: rng.integers(0, 100, (77,)).astype(np.int32)
+        return SD3GenerationRequest(
+            token_ids_l=ids(), token_ids_g=ids(), neg_ids_l=ids(), neg_ids_g=ids(),
+            support_cond=mk(), support_image=mk(), query=mk(),
+            num_steps=2, guidance_scale=g, seed=seed)
+
+    srv = GenerationServer(pipe, params, ServerConfig(max_batch=2, flush_ms=50.0),
+                           adapter=SD3Adapter(pipe))
+    with srv:
+        f1 = srv.submit(req(1, 7.0))
+        f2 = srv.submit(req(2, 3.0))
+        a, b = f1.result(timeout=300), f2.result(timeout=300)
+    assert a.shape == (res, res, 3) and b.shape == (res, res, 3)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
     assert not np.array_equal(a, b)
