@@ -41,15 +41,22 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000
 class FusedLayerNorm(nn.Module):
     """LayerNorm with fp32 statistics; param tree identical to
     nn.LayerNorm ("scale", "bias"). Routes through the one-pass Pallas
-    kernel on TPU (ops/fused_layer_norm.py)."""
+    kernel on TPU (ops/fused_layer_norm.py). `quant_out=True` (int8 mode,
+    consumers are QuantDense) emits (int8, per-row scale) from the
+    kernel's fused epilogue."""
 
     eps: float = 1e-5
+    quant_out: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.quant_out:
+            from prompt_diffusion_tpu.ops.fused_layer_norm import fused_layer_norm_quant
+
+            return fused_layer_norm_quant(x, scale, bias, eps=self.eps)
         from prompt_diffusion_tpu.ops.fused_layer_norm import layer_norm_auto
 
         return layer_norm_auto(x, scale, bias, eps=self.eps)
@@ -236,8 +243,11 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        """`x` (and self-attn `context`) may be a pre-quantized
+        (int8, per-row scale) pair in int8 mode."""
+        x_plain = x[0] if isinstance(x, tuple) else x
         inner = self.heads * self.dim_head
-        out_dim = x.shape[-1]
+        out_dim = x_plain.shape[-1]
         context = x if context is None else context
         quant = self.policy.quant == "int8"
         if quant:
@@ -303,7 +313,7 @@ class GEGLUFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        dim = x.shape[-1]
+        dim = (x[0] if isinstance(x, tuple) else x).shape[-1]
         inner = dim * self.mult
         if self.policy.quant == "int8":
             from prompt_diffusion_tpu.ops.quant import QuantDense
@@ -329,13 +339,18 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        ln = lambda name: FusedLayerNorm(name=name)
+        quant = self.policy.quant == "int8"
+        # int8 mode: the pre-LNs quantize inside the LN kernel and the
+        # q/k/v/FF QuantDenses consume the (int8, per-row scale) pair —
+        # no standalone dynamic-quant HBM passes.
+        ln = lambda name: FusedLayerNorm(quant_out=quant, name=name)
+        cast = (lambda h: h) if quant else (lambda h: h.astype(x.dtype))
         attn = lambda name: CrossAttention(
             heads=self.heads, dim_head=self.dim_head, policy=self.policy, name=name
         )
-        x = x + attn("attn1")(ln("norm1")(x).astype(x.dtype))
-        x = x + attn("attn2")(ln("norm2")(x).astype(x.dtype), context=context)
-        x = x + GEGLUFeedForward(policy=self.policy, name="ff")(ln("norm3")(x).astype(x.dtype))
+        x = x + attn("attn1")(cast(ln("norm1")(x)))
+        x = x + attn("attn2")(cast(ln("norm2")(x)), context=context)
+        x = x + GEGLUFeedForward(policy=self.policy, name="ff")(cast(ln("norm3")(x)))
         return x
 
 

@@ -96,6 +96,62 @@ def _bwd(eps, res, g):
 fused_layer_norm.defvjp(_fwd, _bwd)
 
 
+def _ln_quant_kernel(x_ref, scale_ref, bias_ref, oq_ref, os_ref, *, eps: float):
+    """LN with an int8 epilogue: per-ROW (token) scales — finer than the
+    per-tensor dynamic quantization it replaces, and free while the rows
+    are VMEM-resident."""
+    x = x_ref[...]  # (rb, C)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    s_a = jnp.maximum(jnp.max(jnp.abs(out), axis=-1, keepdims=True) / 127.0, 1e-8)
+    oq_ref[...] = jnp.clip(jnp.round(out / s_a), -127, 127).astype(jnp.int8)
+    os_ref[...] = s_a  # (rb, 1)
+
+
+def fused_layer_norm_quant(x, scale, bias, eps: float = 1e-5):
+    """LayerNorm → (int8 activation, per-row fp32 scale (..., N, 1)).
+    Inference-only; consumed by QuantDense as a pre-quantized pair."""
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    n = 1
+    for d in orig_shape[:-1]:
+        n *= d
+    if jax.default_backend() == "cpu":
+        out = _jnp_layer_norm(x, scale, bias, eps).astype(jnp.float32)
+        s_a = jnp.maximum(jnp.max(jnp.abs(out), axis=-1, keepdims=True) / 127.0, 1e-8)
+        oq = jnp.clip(jnp.round(out / s_a), -127, 127).astype(jnp.int8)
+        return oq, s_a
+    x2 = x.reshape(n, c)
+    rb = _row_block(n, c, x.dtype.itemsize)
+    while rb % 8 and rb > 1:  # scale output tiling needs rb % 8 == 0
+        rb -= 1
+    while n % rb:
+        rb -= 1
+    oq, s_a = pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), jnp.int8),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        grid=(n // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=False,
+    )(x2, scale, bias)
+    return oq.reshape(orig_shape), s_a.reshape(orig_shape[:-1] + (1,))
+
+
 def layer_norm_auto(x, scale, bias, eps=1e-5, min_fused_elems: int = 1 << 16):
     """Kernel on TPU for non-trivial sizes, jnp elsewhere."""
     c = x.shape[-1]

@@ -103,16 +103,22 @@ class QuantDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        """`x` is a float activation (dynamic per-tensor quant here) or a
+        pre-quantized `(int8, scale)` pair from an LN kernel's fused int8
+        epilogue (per-row scales, shape (..., N, 1))."""
+        if isinstance(x, tuple):
+            xq, s_a = x
+        else:
+            xq, s_a = _quant_act(x)
+        cin = xq.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (cin, self.features), jnp.float32)
         wq, s_w = _quant_weight(kernel * self.pre_scale, reduce_axes=(0,))  # (1, Cout)
-        xq, s_a = _quant_act(x)
         o = jax.lax.dot_general(
-            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        out = o.astype(jnp.float32) * (s_a * s_w.reshape((1,) * (x.ndim - 1) + (-1,)))
+        out = o.astype(jnp.float32) * (s_a * s_w.reshape((1,) * (xq.ndim - 1) + (-1,)))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             out = out + bias
