@@ -185,9 +185,15 @@ class JointBlock(nn.Module):
             c_mod, c_gate, c_shift_mlp, c_scale_mlp, c_gate_mlp = AdaLayerNormZero(
                 pol, name="norm1_context"
             )(context, emb)
+        if pol.quant == "int8":
+            # quantize each AdaLN output ONCE for its three projections
+            from prompt_diffusion_tpu.ops.quant import quant_act_pair
 
-        b, n_h = h_mod.shape[:2]
-        n_c = c_mod.shape[1]
+            h_mod = quant_act_pair(h_mod)
+            c_mod = quant_act_pair(c_mod)
+
+        b, n_h = (h_mod[0] if isinstance(h_mod, tuple) else h_mod).shape[:2]
+        n_c = (c_mod[0] if isinstance(c_mod, tuple) else c_mod).shape[1]
         q = jnp.concatenate(
             [dense(dim, "to_q")(h_mod), dense(dim, "add_q_proj")(c_mod)], axis=1
         ).reshape(b, n_h + n_c, heads, hd)

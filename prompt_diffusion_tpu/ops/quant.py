@@ -51,6 +51,14 @@ def _quant_act(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return xq, s_a
 
 
+def quant_act_pair(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Explicitly quantize an activation ONCE for multiple QuantDense
+    consumers (e.g. the q/k/v projections sharing one AdaLN output) —
+    passing the pair avoids each dense re-running amax+round over the
+    same tensor."""
+    return _quant_act(x)
+
+
 class QuantConv(nn.Module):
     """int8 W8A8 convolution; param tree identical to nn.Conv
     (kernel (kh,kw,cin,cout), bias (cout,))."""
