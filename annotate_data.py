@@ -71,10 +71,9 @@ def main():
         fns["hed"] = jax.jit(lambda x: net.apply(hp, x) * 255.0)
     if "depth" in args.tasks or "normal" in args.tasks:
         from prompt_diffusion_tpu.annotators.midas import (
-            DPTDepth, depth_to_normals, import_dpt_checkpoint)
+            create_dpt, depth_to_normals)
 
-        dpt = DPTDepth()
-        dp = import_dpt_checkpoint(args.midas_ckpt)
+        dpt, dp = create_dpt(args.midas_ckpt)
 
         @jax.jit
         def midas_fn(x):

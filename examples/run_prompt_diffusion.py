@@ -57,10 +57,10 @@ def extract_condition(image_u8: np.ndarray, task: str, ckpts: dict) -> np.ndarra
         return np.repeat(e[..., None].astype(np.uint8), 3, axis=-1)
     if task in ("depth", "normal"):
         from prompt_diffusion_tpu.annotators.midas import (
-            DPTDepth, depth_to_normals, import_dpt_checkpoint)
+            create_dpt, depth_to_normals)
 
-        dpt = DPTDepth()
-        params = import_dpt_checkpoint(need("midas", "--midas-ckpt"))
+        # dpt_hybrid (ecosystem default) or dpt_large, sniffed from the file
+        dpt, params = create_dpt(need("midas", "--midas-ckpt"))
         depth = jax.jit(dpt.apply)(params, x / 127.5 - 1.0)
         d01, normals = depth_to_normals(depth)
         out = np.asarray(d01 if task == "depth" else normals)[0] * 255.0

@@ -6,13 +6,24 @@ Re-expression of `annotator/midas/` (MidasDetector `__init__.py:9-38`, DPT
 reassemble (per-stage resample to a feature pyramid) → 4 RefineNet-style
 fusion blocks → monotone depth head.
 
-This implementation is the **DPT-Large** variant (vitl16_384, hooks
-[5,11,17,23]) — pure ViT, no timm ResNet hybrid stage — with the same
-DPT decoder the reference uses for all variants. The detector API matches
-the reference: relative depth normalized to [0,1] plus normals from Sobel
-gradients (`__init__.py:28-36`), but batched and jittable.
+Two variants are implemented with the shared DPT decoder:
 
-Weight import (`import_dpt_checkpoint`) reads the official dpt_large ckpt.
+  * **DPT-Large** (`DPTDepth`): vitl16_384 backbone, hooks [5,11,17,23]
+    (`midas/vit.py:183-297`).
+  * **DPT-Hybrid** (`DPTHybridDepth`): the reference DEFAULT
+    (`annotator/midas/__init__.py:11`, ckpt `dpt_hybrid-midas-501f0c75.pt`
+    auto-downloaded `api.py:23,40`) — timm `vit_base_resnet50_384`:
+    ResNetV2-50 stem/stages (weight-standardized convs + GroupNorm32,
+    stages (3,4,9)), stages 0-1 tapped as pyramid levels 1-2, ViT-B/16
+    blocks with hooks [8,11] as levels 3-4 (`midas/vit.py:343-492`).
+
+The detector API matches the reference: relative depth normalized to
+[0,1] plus normals from Sobel gradients (`__init__.py:28-36`), but
+batched and jittable.
+
+Weight import (`import_dpt_checkpoint`) reads the official dpt_large AND
+dpt_hybrid checkpoints (variant sniffed from the key scheme);
+`create_dpt(path)` returns the right (model, params) pair.
 """
 
 from __future__ import annotations
@@ -145,7 +156,8 @@ class DPTDepth(nn.Module):
         # _resize_pos_embed)
         pos_cls, pos_grid = pos[:, :1], pos[:, 1:]
         pos_grid = pos_grid.reshape(1, cfg.pos_grid, cfg.pos_grid, cfg.hidden_size)
-        pos_grid = jax.image.resize(pos_grid, (1, gh, gw, cfg.hidden_size), "bilinear")
+        pos_grid = jax.image.resize(pos_grid, (1, gh, gw, cfg.hidden_size), "bilinear",
+                                    antialias=False)
         pos_grid = pos_grid.reshape(1, gh * gw, cfg.hidden_size)
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.hidden_size)).astype(x.dtype), x], axis=1)
         x = x + jnp.concatenate([pos_cls, pos_grid], axis=1).astype(x.dtype)
@@ -205,6 +217,186 @@ class DPTDepth(nn.Module):
         return h[..., 0].astype(jnp.float32)
 
 
+# --- DPT-Hybrid (timm vit_base_resnet50_384 backbone) -----------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DPTHybridConfig:
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    hooks: Tuple[int, int] = (8, 11)  # ViT taps (levels 3-4); levels 1-2 are ResNet stages
+    resnet_layers: Tuple[int, int, int] = (3, 4, 9)
+    reassemble_dims: Tuple[int, ...] = (256, 512, 768, 768)
+    features: int = 256
+    pos_grid: int = 24  # 384/16 training grid
+
+
+class StdConv(nn.Module):
+    """timm StdConv2dSame: weight-standardized conv (per-out-channel mean/
+    biased-var over (kh,kw,cin), eps 1e-6), TF-SAME padding, no bias."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (kh, kw, cin, self.features), jnp.float32)
+        m = w.mean(axis=(0, 1, 2), keepdims=True)
+        v = w.var(axis=(0, 1, 2), keepdims=True)  # biased, as F.batch_norm
+        w = (w - m) * jax.lax.rsqrt(v + self.eps)
+        return jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), self.strides, "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class GNReLU(nn.Module):
+    """timm GroupNormAct(32): GN eps 1e-5 + optional ReLU."""
+
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return jax.nn.relu(x) if self.act else x
+
+
+class Bottleneck(nn.Module):
+    """timm resnetv2.Bottleneck (preact=False): conv→GN+ReLU ×2,
+    conv→GN, add shortcut, ReLU. Downsample = 1×1 conv→GN on the first
+    block of a stage."""
+
+    out_ch: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.out_ch // 4
+        if self.has_downsample:
+            sc = StdConv(self.out_ch, (1, 1), (self.stride, self.stride),
+                         name="downsample_conv")(x)
+            sc = GNReLU(act=False, name="downsample_norm")(sc).astype(x.dtype)
+        else:
+            sc = x
+        h = StdConv(mid, (1, 1), name="conv1")(x)
+        h = GNReLU(name="norm1")(h).astype(x.dtype)
+        h = StdConv(mid, (3, 3), (self.stride, self.stride), name="conv2")(h)
+        h = GNReLU(name="norm2")(h).astype(x.dtype)
+        h = StdConv(self.out_ch, (1, 1), name="conv3")(h)
+        h = GNReLU(act=False, name="norm3")(h).astype(x.dtype)
+        return jax.nn.relu(h + sc)
+
+
+class DPTHybridDepth(nn.Module):
+    """(B,H,W,3) in [-1,1] → (B,H,W) relative inverse depth (≥0).
+
+    ResNetV2 stem (7×7/2 StdConv + GN + 3×3/2 SAME maxpool) → stages
+    (3,4,9) at strides (1,2,2) — stage outputs 256/512ch become pyramid
+    levels 1-2 (act_postprocess1/2 are Identity in the reference,
+    vit.py:423-428) — final 1024ch map → 1×1 proj to 768 tokens → ViT-B
+    blocks; hooks (8,11) readout-projected to levels 3-4
+    (act_postprocess3/4, vit.py:430-460)."""
+
+    config: DPTHybridConfig = DPTHybridConfig()
+    policy: DTypePolicy = default_policy()
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        cfg, pol = self.config, self.policy
+        b, H, W, _ = img.shape
+        gh, gw = H // cfg.patch_size, W // cfg.patch_size
+
+        x = img.astype(pol.compute_dtype)
+        x = StdConv(64, (7, 7), (2, 2), name="stem_conv")(x)
+        x = GNReLU(name="stem_norm")(x).astype(pol.compute_dtype)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        taps_rn = []
+        widths = (256, 512, 1024)
+        for s, depth in enumerate(cfg.resnet_layers):
+            stride = 1 if s == 0 else 2
+            for bi in range(depth):
+                x = Bottleneck(widths[s], stride=stride if bi == 0 else 1,
+                               has_downsample=(bi == 0),
+                               name=f"stage{s}_block{bi}")(x)
+            if s < 2:
+                taps_rn.append(x)
+
+        # HybridEmbed: 1×1 proj of the stride-16 map to ViT width
+        t = nn.Conv(cfg.hidden_size, (1, 1), dtype=pol.compute_dtype,
+                    param_dtype=jnp.float32, name="embed_proj")(x)
+        t = t.reshape(b, gh * gw, cfg.hidden_size)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, cfg.hidden_size), jnp.float32)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, cfg.pos_grid * cfg.pos_grid + 1, cfg.hidden_size), jnp.float32)
+        pos_cls, pos_grid = pos[:, :1], pos[:, 1:]
+        pos_grid = pos_grid.reshape(1, cfg.pos_grid, cfg.pos_grid, cfg.hidden_size)
+        pos_grid = jax.image.resize(pos_grid, (1, gh, gw, cfg.hidden_size), "bilinear",
+                                    antialias=False)
+        pos_grid = pos_grid.reshape(1, gh * gw, cfg.hidden_size)
+        t = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, cfg.hidden_size)).astype(t.dtype), t], axis=1)
+        t = t + jnp.concatenate([pos_cls, pos_grid], axis=1).astype(t.dtype)
+
+        vcfg = DPTConfig(hidden_size=cfg.hidden_size, num_layers=cfg.num_layers,
+                         num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio)
+        taps_vit = []
+        for i in range(cfg.num_layers):
+            t = ViTBlock(vcfg, pol, name=f"blocks_{i}")(t)
+            if i in cfg.hooks:
+                taps_vit.append(t)
+
+        pyramid = list(taps_rn)  # levels 1-2: raw ResNet features
+        for s, tap in enumerate(taps_vit):
+            tokens, cls_t = tap[:, 1:], tap[:, :1]
+            r = jnp.concatenate([tokens, jnp.broadcast_to(cls_t, tokens.shape)], axis=-1)
+            r = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
+                         param_dtype=jnp.float32, name=f"readout_{s + 2}")(r)
+            r = jax.nn.gelu(r, approximate=False)
+            r = r.reshape(b, gh, gw, cfg.hidden_size)
+            r = nn.Conv(cfg.reassemble_dims[s + 2], (1, 1), dtype=pol.compute_dtype,
+                        param_dtype=jnp.float32, name=f"reassemble_proj_{s + 2}")(r)
+            if s == 1:  # level 4: extra 3×3 stride-2 conv (act_postprocess4.4)
+                r = nn.Conv(cfg.reassemble_dims[3], (3, 3), strides=(2, 2), padding=1,
+                            dtype=pol.compute_dtype, param_dtype=jnp.float32,
+                            name="resample_3")(r)
+            pyramid.append(r)
+
+        pyramid = [
+            nn.Conv(cfg.features, (3, 3), padding=1, use_bias=False,
+                    dtype=pol.compute_dtype, param_dtype=jnp.float32,
+                    name=f"scratch_rn_{s}")(p)
+            for s, p in enumerate(pyramid)
+        ]
+        f4, f8, f16, f32 = pyramid
+        h = FeatureFusion(cfg.features, pol, name="refinenet4")(f32)
+        h = FeatureFusion(cfg.features, pol, name="refinenet3")(h, f16)
+        h = FeatureFusion(cfg.features, pol, name="refinenet2")(h, f8)
+        h = FeatureFusion(cfg.features, pol, name="refinenet1")(h, f4)
+
+        h = nn.Conv(cfg.features // 2, (3, 3), padding=1, dtype=pol.compute_dtype,
+                    param_dtype=jnp.float32, name="head_conv1")(h)
+        bh, hh, hw, _ = h.shape
+        h = _resize_align_corners(h, hh * 2, hw * 2)
+        h = nn.Conv(32, (3, 3), padding=1, dtype=pol.compute_dtype,
+                    param_dtype=jnp.float32, name="head_conv2")(h)
+        h = jax.nn.relu(h)
+        h = nn.Conv(1, (1, 1), dtype=pol.compute_dtype, param_dtype=jnp.float32,
+                    name="head_conv3")(h)
+        h = jax.nn.relu(h)
+        return h[..., 0].astype(jnp.float32)
+
+
 def depth_to_normals(depth: jnp.ndarray, a: float = 2 * np.pi, bg_th: float = 0.1):
     """Batched port of MidasDetector.__call__ post-processing
     (annotator/midas/__init__.py:22-37). depth: (B,H,W) raw inverse depth.
@@ -233,11 +425,14 @@ def depth_to_normals(depth: jnp.ndarray, a: float = 2 * np.pi, bg_th: float = 0.
 
 
 def import_dpt_checkpoint(path: str, cfg: DPTConfig = DPTConfig()) -> dict:
-    """Official dpt_large-midas checkpoint → flax params."""
+    """Official dpt_large-midas OR dpt_hybrid-midas checkpoint → flax
+    params (variant sniffed from the backbone key scheme)."""
     import torch
 
     sd = {k: v.numpy() for k, v in
           torch.load(path, map_location="cpu", weights_only=True).items()}
+    if "pretrained.model.patch_embed.backbone.stem.conv.weight" in sd:
+        return _import_dpt_hybrid(sd)
     conv = lambda w: w.transpose(2, 3, 1, 0)
     lin = lambda w: w.T
     p: dict = {
@@ -290,3 +485,94 @@ def import_dpt_checkpoint(path: str, cfg: DPTConfig = DPTConfig()) -> dict:
     p["head_conv3"] = {"kernel": conv(sd["scratch.output_conv.4.weight"]),
                        "bias": sd["scratch.output_conv.4.bias"]}
     return {"params": p}
+
+
+def _import_dpt_hybrid(sd: dict, cfg: DPTHybridConfig = DPTHybridConfig()) -> dict:
+    """dpt_hybrid-midas-501f0c75.pt key scheme → DPTHybridDepth params.
+
+    Backbone keys are the timm vit_base_resnet50_384 layout:
+    `pretrained.model.patch_embed.backbone.{stem,stages.S.blocks.B}.*`
+    (StdConv weights, GroupNorm affine), `pretrained.model.blocks.I.*`
+    (ViT-B), decoder `pretrained.act_postprocess{3,4}.*` + `scratch.*`
+    (act_postprocess1/2 are Identity, vit.py:423-428)."""
+    conv = lambda w: w.transpose(2, 3, 1, 0)
+    lin = lambda w: w.T
+    bb = "pretrained.model.patch_embed.backbone"
+    p: dict = {
+        "stem_conv": {"kernel": conv(sd[f"{bb}.stem.conv.weight"])},
+        "stem_norm": {"GroupNorm_0": {"scale": sd[f"{bb}.stem.norm.weight"],
+                                      "bias": sd[f"{bb}.stem.norm.bias"]}},
+        "embed_proj": {"kernel": conv(sd["pretrained.model.patch_embed.proj.weight"]),
+                       "bias": sd["pretrained.model.patch_embed.proj.bias"]},
+        "cls_token": sd["pretrained.model.cls_token"],
+        "pos_embed": sd["pretrained.model.pos_embed"],
+    }
+
+    def gn(prefix):
+        return {"GroupNorm_0": {"scale": sd[f"{prefix}.weight"],
+                                "bias": sd[f"{prefix}.bias"]}}
+
+    for s, depth in enumerate(cfg.resnet_layers):
+        for bi in range(depth):
+            t = f"{bb}.stages.{s}.blocks.{bi}"
+            blk = {
+                "conv1": {"kernel": conv(sd[f"{t}.conv1.weight"])},
+                "norm1": gn(f"{t}.norm1"),
+                "conv2": {"kernel": conv(sd[f"{t}.conv2.weight"])},
+                "norm2": gn(f"{t}.norm2"),
+                "conv3": {"kernel": conv(sd[f"{t}.conv3.weight"])},
+                "norm3": gn(f"{t}.norm3"),
+            }
+            if bi == 0:
+                blk["downsample_conv"] = {"kernel": conv(sd[f"{t}.downsample.conv.weight"])}
+                blk["downsample_norm"] = gn(f"{t}.downsample.norm")
+            p[f"stage{s}_block{bi}"] = blk
+    for i in range(cfg.num_layers):
+        t = f"pretrained.model.blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": {"scale": sd[f"{t}.norm1.weight"], "bias": sd[f"{t}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{t}.norm2.weight"], "bias": sd[f"{t}.norm2.bias"]},
+            "qkv": {"kernel": lin(sd[f"{t}.attn.qkv.weight"]), "bias": sd[f"{t}.attn.qkv.bias"]},
+            "proj": {"kernel": lin(sd[f"{t}.attn.proj.weight"]), "bias": sd[f"{t}.attn.proj.bias"]},
+            "fc1": {"kernel": lin(sd[f"{t}.mlp.fc1.weight"]), "bias": sd[f"{t}.mlp.fc1.bias"]},
+            "fc2": {"kernel": lin(sd[f"{t}.mlp.fc2.weight"]), "bias": sd[f"{t}.mlp.fc2.bias"]},
+        }
+    for s, act in ((2, "pretrained.act_postprocess3"), (3, "pretrained.act_postprocess4")):
+        p[f"readout_{s}"] = {"kernel": lin(sd[f"{act}.0.project.0.weight"]),
+                             "bias": sd[f"{act}.0.project.0.bias"]}
+        p[f"reassemble_proj_{s}"] = {"kernel": conv(sd[f"{act}.3.weight"]),
+                                     "bias": sd[f"{act}.3.bias"]}
+    p["resample_3"] = {"kernel": conv(sd["pretrained.act_postprocess4.4.weight"]),
+                       "bias": sd["pretrained.act_postprocess4.4.bias"]}
+    for s in range(4):
+        p[f"scratch_rn_{s}"] = {"kernel": conv(sd[f"scratch.layer{s + 1}_rn.weight"])}
+    for rn in range(1, 5):
+        t = f"scratch.refinenet{rn}"
+        p[f"refinenet{rn}"] = {
+            "rcu1": {"conv1": {"kernel": conv(sd[f"{t}.resConfUnit1.conv1.weight"]),
+                               "bias": sd[f"{t}.resConfUnit1.conv1.bias"]},
+                     "conv2": {"kernel": conv(sd[f"{t}.resConfUnit1.conv2.weight"]),
+                               "bias": sd[f"{t}.resConfUnit1.conv2.bias"]}},
+            "rcu2": {"conv1": {"kernel": conv(sd[f"{t}.resConfUnit2.conv1.weight"]),
+                               "bias": sd[f"{t}.resConfUnit2.conv1.bias"]},
+                     "conv2": {"kernel": conv(sd[f"{t}.resConfUnit2.conv2.weight"]),
+                               "bias": sd[f"{t}.resConfUnit2.conv2.bias"]}},
+            "out_conv": {"kernel": conv(sd[f"{t}.out_conv.weight"]),
+                         "bias": sd[f"{t}.out_conv.bias"]},
+        }
+    p["head_conv1"] = {"kernel": conv(sd["scratch.output_conv.0.weight"]),
+                       "bias": sd["scratch.output_conv.0.bias"]}
+    p["head_conv2"] = {"kernel": conv(sd["scratch.output_conv.2.weight"]),
+                       "bias": sd["scratch.output_conv.2.bias"]}
+    p["head_conv3"] = {"kernel": conv(sd["scratch.output_conv.4.weight"]),
+                       "bias": sd["scratch.output_conv.4.bias"]}
+    return {"params": p}
+
+
+def create_dpt(path: str):
+    """(model, params) for a MiDaS checkpoint — DPTHybridDepth for the
+    ecosystem-default dpt_hybrid file, DPTDepth for dpt_large
+    (api.py:30-46 dispatch)."""
+    params = import_dpt_checkpoint(path)
+    model = (DPTHybridDepth() if "stem_conv" in params["params"] else DPTDepth())
+    return model, params

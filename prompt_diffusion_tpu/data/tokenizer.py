@@ -91,6 +91,15 @@ class CLIPTokenizer:
         self.bpe_ranks = {tuple(m.split()): i for i, m in enumerate(merges)}
         self.byte_encoder = _bytes_to_unicode()
         self.cache = {}
+        self.added_tokens: dict = {}
+
+    def add_tokens(self, mapping: dict):
+        """Register placeholder tokens (textual inversion): token text →
+        list of embedding-table ids (multi-vector TI expands to several
+        consecutive ids, diffusers TextualInversionLoaderMixin semantics)."""
+        self.added_tokens.update(
+            {t: list(ids) if isinstance(ids, (list, tuple)) else [ids]
+             for t, ids in mapping.items()})
 
     @functools.lru_cache(maxsize=32768)
     def _bpe(self, token: str) -> str:
@@ -125,11 +134,28 @@ class CLIPTokenizer:
             pairs = _get_pairs(word)
         return " ".join(word)
 
-    def encode_text(self, text: str) -> List[int]:
+    def _encode_plain(self, text: str) -> List[int]:
         ids: List[int] = []
-        for token in _WORD_RE.findall(_basic_clean(text)):
+        for token in _WORD_RE.findall(text):
             token_b = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token_b).split(" "))
+        return ids
+
+    def encode_text(self, text: str) -> List[int]:
+        text = _basic_clean(text)
+        if not self.added_tokens:
+            return self._encode_plain(text)
+        # split on placeholder tokens first so they bypass BPE
+        import re as _re
+
+        pattern = "|".join(
+            _re.escape(t) for t in sorted(self.added_tokens, key=len, reverse=True))
+        ids: List[int] = []
+        for part in _re.split(f"({pattern})", text):
+            if part in self.added_tokens:
+                ids.extend(self.added_tokens[part])
+            elif part:
+                ids.extend(self._encode_plain(part))
         return ids
 
     def __call__(self, texts: Sequence[str], max_length: int = MAX_LEN) -> np.ndarray:
@@ -148,11 +174,22 @@ class HashTokenizer:
     with pretrained CLIP weights.
     """
 
+    def __init__(self):
+        self.added_tokens: dict = {}
+
+    def add_tokens(self, mapping: dict):
+        self.added_tokens.update(
+            {t: list(ids) if isinstance(ids, (list, tuple)) else [ids]
+             for t, ids in mapping.items()})
+
     def encode_text(self, text: str) -> List[int]:
         import hashlib
 
         ids = []
         for w in _basic_clean(text).split():
+            if w in self.added_tokens:
+                ids.extend(self.added_tokens[w])
+                continue
             h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
             ids.append(1000 + h % 48000)
         return ids

@@ -73,14 +73,74 @@ class FeatureStats:
         return cls(z["raw_sum"], z["raw_outer"], int(z["count"]))
 
 
-def psum_stats(raw_sum: jnp.ndarray, raw_outer: jnp.ndarray, count: jnp.ndarray, axis: str):
+def psum_stats(raw_sum: jnp.ndarray, raw_outer: jnp.ndarray, count: jnp.ndarray, axis):
     """In-pjit reduction of partial stats (the NCCL all_reduce equivalent,
-    eval/fid.py:73-74). Call inside shard_map over the data axis."""
+    eval/fid.py:73-74). Call inside shard_map over the data axis (or a
+    tuple of axes)."""
     return (
         jax.lax.psum(raw_sum, axis),
         jax.lax.psum(raw_outer, axis),
         jax.lax.psum(count, axis),
     )
+
+
+def compute_stats_sharded(
+    feature_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    images: np.ndarray,
+    mesh,
+    feature_dim: int,
+) -> FeatureStats:
+    """Multi-device feature pass: batch sharded over every mesh axis, each
+    device computes its shard's (Σx, Σxxᵀ, n), reduced in-graph with
+    `psum_stats` — the exact analogue of the reference's per-rank feature
+    pass + NCCL all_reduce (eval/fid.py:53-77). `images` (N,H,W,3) in
+    [0,1]; N must divide by the device count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    if images.shape[0] % n_dev:
+        raise ValueError(f"batch {images.shape[0]} not divisible by {n_dev} devices")
+
+    def shard_fn(xs):
+        f = feature_fn(xs).astype(jnp.float32)
+        return psum_stats(jnp.sum(f, 0), f.T @ f,
+                          jnp.asarray(xs.shape[0], jnp.float32), axes)
+
+    run = jax.jit(
+        shard_map(shard_fn, mesh=mesh, in_specs=P(axes), out_specs=(P(), P(), P()))
+    )
+    x = jax.device_put(jnp.asarray(images), NamedSharding(mesh, P(axes)))
+    s, o, c = run(x)
+    return FeatureStats(
+        np.asarray(s, np.float64), np.asarray(o, np.float64), int(c)
+    )
+
+
+def compute_stats_from_iterator_sharded(
+    feature_fn, batches: Iterator[np.ndarray], feature_dim: int, mesh
+) -> FeatureStats:
+    """Streaming variant of `compute_stats_sharded`: full device-multiples
+    go through the sharded psum path; a final partial batch falls back to
+    the single-device path (padding would corrupt the statistics)."""
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    stats = FeatureStats.zero(feature_dim)
+    single = jax.jit(feature_fn)
+    for batch in batches:
+        n_full = (batch.shape[0] // n_dev) * n_dev
+        if n_full:
+            stats = stats.merge(
+                compute_stats_sharded(feature_fn, batch[:n_full], mesh, feature_dim)
+            )
+        if n_full < batch.shape[0]:
+            stats = stats.update(np.asarray(single(jnp.asarray(batch[n_full:]))))
+    return stats
 
 
 def _sqrtm_psd(a: np.ndarray) -> np.ndarray:
@@ -161,18 +221,34 @@ def main():
     p.add_argument("--ref", default=None)
     p.add_argument("--out", default="fid_ref.npz")
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument(
+        "--sharded", action="store_true",
+        help="shard the feature pass over all devices with an in-graph "
+        "psum reduction (reference eval/fid.py rank-sharding + NCCL "
+        "all_reduce); multi-host works after jax.distributed.initialize()",
+    )
     args = p.parse_args()
 
     feature_fn, dim = _default_feature_fn()
+
+    def gather(directory):
+        batches = _image_dir_batches(directory, args.batch)
+        if args.sharded and jax.device_count() > 1:
+            from prompt_diffusion_tpu.parallel.mesh import make_mesh
+
+            return compute_stats_from_iterator_sharded(
+                feature_fn, batches, dim, make_mesh()
+            )
+        return compute_stats_from_iterator(feature_fn, batches, dim)
+
     if args.mode == "ref":
-        stats = compute_stats_from_iterator(
-            feature_fn, _image_dir_batches(args.images, args.batch), dim
-        )
+        stats = gather(args.images)
         stats.save(args.out)
         print(f"saved reference stats ({stats.count} images) → {args.out}")
     else:
-        fid = fid_between_dirs(feature_fn, dim, args.images, args.ref, args.batch)
-        print(f"FID: {fid:.4f}")
+        mu_g, sig_g = gather(args.images).finalize()
+        mu_r, sig_r = FeatureStats.load(args.ref).finalize()
+        print(f"FID: {frechet_distance(mu_g, sig_g, mu_r, sig_r):.4f}")
 
 
 if __name__ == "__main__":

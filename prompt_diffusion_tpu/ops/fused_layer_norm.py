@@ -125,18 +125,24 @@ def fused_layer_norm_quant(x, scale, bias, eps: float = 1e-5):
         oq = jnp.clip(jnp.round(out / s_a), -127, 127).astype(jnp.int8)
         return oq, s_a
     x2 = x.reshape(n, c)
-    rb = _row_block(n, c, x.dtype.itemsize)
-    while rb % 8 and rb > 1:  # scale output tiling needs rb % 8 == 0
-        rb -= 1
-    while n % rb:
-        rb -= 1
+    # the (rb, 1) scale output tiles need rb % 8 == 0; pad the row count up
+    # to a multiple of 8 so such an rb always exists, then step rb DOWN in
+    # multiples of 8 until it divides the padded count (never landing on a
+    # non-multiple-of-8 divisor)
+    n_pad = (-n) % 8
+    if n_pad:
+        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
+    np8 = n + n_pad
+    rb = max(8, _row_block(np8, c, x.dtype.itemsize) // 8 * 8)
+    while np8 % rb:
+        rb -= 8
     oq, s_a = pl.pallas_call(
         functools.partial(_ln_quant_kernel, eps=eps),
         out_shape=[
-            jax.ShapeDtypeStruct((n, c), jnp.int8),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np8, c), jnp.int8),
+            jax.ShapeDtypeStruct((np8, 1), jnp.float32),
         ],
-        grid=(n // rb,),
+        grid=(np8 // rb,),
         in_specs=[
             pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -149,6 +155,8 @@ def fused_layer_norm_quant(x, scale, bias, eps: float = 1e-5):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=False,
     )(x2, scale, bias)
+    if n_pad:
+        oq, s_a = oq[:n], s_a[:n]
     return oq.reshape(orig_shape), s_a.reshape(orig_shape[:-1] + (1,))
 
 

@@ -28,6 +28,8 @@ production-serving lever past bf16 speed-of-light.
 
 from __future__ import annotations
 
+from typing import Callable
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -108,6 +110,7 @@ class QuantDense(nn.Module):
     use_bias: bool = True
     pre_scale: float = 1.0
     out_dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x):
@@ -120,7 +123,7 @@ class QuantDense(nn.Module):
             xq, s_a = _quant_act(x)
         cin = xq.shape[-1]
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (cin, self.features), jnp.float32)
+            "kernel", self.kernel_init, (cin, self.features), jnp.float32)
         wq, s_w = _quant_weight(kernel * self.pre_scale, reduce_axes=(0,))  # (1, Cout)
         o = jax.lax.dot_general(
             xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),

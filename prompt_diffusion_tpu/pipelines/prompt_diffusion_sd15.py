@@ -64,6 +64,43 @@ class PromptDiffusionSD15:
             ),
         )
 
+    # ---- loaders (reference pipeline mixin counterparts,
+    # pipeline_prompt_diffusion.py:145,155-156) -----------------------------
+
+    @classmethod
+    def from_single_file(cls, path: str, **import_kwargs):
+        """(pipe, params) from a reference-format `.ckpt`/`.safetensors`
+        (FromSingleFileMixin counterpart)."""
+        from prompt_diffusion_tpu.tools.torch_import import import_ldm_checkpoint
+
+        return cls.create(), import_ldm_checkpoint(path, **import_kwargs)
+
+    def load_lora_weights(self, params, path_or_sd, scale: float = 1.0) -> dict:
+        """New param dict with a diffusers-format LoRA folded in
+        (LoraLoaderMixin counterpart; trace-time fold — no recompile)."""
+        from prompt_diffusion_tpu.tools.loaders import load_lora_weights
+
+        return load_lora_weights(
+            params, path_or_sd, scale=scale, unet_cfg=self.unet.config,
+            clip_layers=self.text_encoder.config.num_layers)
+
+    def load_textual_inversion(self, params, tokenizer, path_or_sd, token=None):
+        """(new_pipe, new_params, token, ids): learned embeddings appended
+        to the CLIP token table, placeholder registered with the tokenizer,
+        and a pipeline whose text-encoder config reflects the grown vocab
+        (flax validates param shapes at apply time, so the module's
+        vocab_size must track the table). TextualInversionLoaderMixin
+        counterpart."""
+        from prompt_diffusion_tpu.tools.loaders import load_textual_inversion
+
+        new_params, token, ids = load_textual_inversion(
+            params, tokenizer, path_or_sd, token=token)
+        n_new = new_params["clip"]["params"]["token_embedding"]["embedding"].shape[0]
+        te = dataclasses.replace(
+            self.text_encoder,
+            config=dataclasses.replace(self.text_encoder.config, vocab_size=n_new))
+        return dataclasses.replace(self, text_encoder=te), new_params, token, ids
+
     # ---- pieces -----------------------------------------------------------
 
     def encode_prompt(self, params, token_ids: jnp.ndarray) -> jnp.ndarray:

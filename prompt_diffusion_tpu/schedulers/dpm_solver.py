@@ -108,9 +108,13 @@ def dpm_solver_multistep_loop(
         lam = tables.lam
         h = lam[i + 1] - lam[i]
         # knot spacings for the history; clamped indices are only reached
-        # when the order schedule already forces a lower order
-        h0 = lam[i] - lam[jnp.maximum(i - 1, 0)]
-        h1 = lam[jnp.maximum(i - 1, 0)] - lam[jnp.maximum(i - 2, 0)]
+        # when the order schedule already forces a lower order, but the
+        # unselected lax.switch branches still evaluate — keep the
+        # spacings positive so they never divide by zero (NaN-poisoned
+        # lanes break jax.debug_nans even when unused)
+        tiny = jnp.asarray(1e-12, lam.dtype)
+        h0 = jnp.maximum(lam[i] - lam[jnp.maximum(i - 1, 0)], tiny)
+        h1 = jnp.maximum(lam[jnp.maximum(i - 1, 0)] - lam[jnp.maximum(i - 2, 0)], tiny)
         r0 = h0 / h
         r1 = h1 / h
         d1_0 = (m0 - m1) / r0

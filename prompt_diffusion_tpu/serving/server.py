@@ -26,12 +26,17 @@ fixed-batch loops.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
 import time
 from concurrent.futures import Future
 from typing import Optional, Sequence
+
+
+class ServerStopped(RuntimeError):
+    """Raised into futures still outstanding when the server shuts down."""
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +134,16 @@ class GenerationServer:
         if self._worker is not None:
             self._worker.join(timeout)
             self._worker = None
+        # the worker fails its own pending dict on exit; anything that
+        # raced into the queue after that is failed here so no
+        # fut.result() ever hangs past shutdown
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(ServerStopped("server stopped"))
 
     def __enter__(self):
         return self.start()
@@ -162,29 +177,46 @@ class GenerationServer:
             b *= 2
         return b
 
+    @staticmethod
+    def _batch_limit(req, max_batch: int) -> int:
+        # eta>0 draws batch-shaped per-step DDIM noise inside the loop;
+        # only a 1-request batch keeps the per-request determinism
+        # contract (image depends on the request's seed alone)
+        if getattr(req, "eta", 0.0) > 0:
+            return 1
+        return max_batch
+
+    def _absorb(self, timeout: float) -> bool:
+        """Move one queued item into the per-bucket pending map."""
+        try:
+            item = self._queue.get(timeout=timeout)
+        except queue.Empty:
+            return False
+        self._pending.setdefault(
+            item[0].bucket_key(), collections.deque()).append(item)
+        return True
+
     def _run(self):
         cfg = self.config
+        # per-bucket pending map instead of tail re-queueing: a request
+        # never moves behind traffic that arrived after it (no
+        # starvation under sustained mixed-bucket load); buckets are
+        # served oldest-first
+        self._pending = collections.OrderedDict()
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except queue.Empty:
+            if not self._pending and not self._absorb(0.05):
                 continue
-            batch = [first]
-            key = first[0].bucket_key()
+            key = next(iter(self._pending))
+            dq = self._pending[key]
+            limit = self._batch_limit(dq[0][0], cfg.max_batch)
             deadline = time.perf_counter() + cfg.flush_ms / 1e3
-            while len(batch) < cfg.max_batch:
+            while len(dq) < limit:
                 remaining = deadline - time.perf_counter()
-                if remaining <= 0:
+                if remaining <= 0 or not self._absorb(remaining):
                     break
-                try:
-                    item = self._queue.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if item[0].bucket_key() != key:
-                    # different program — run what we have, requeue the rest
-                    self._queue.put(item)
-                    break
-                batch.append(item)
+            batch = [dq.popleft() for _ in range(min(len(dq), limit))]
+            if not dq:
+                del self._pending[key]
             reqs = [r for r, _ in batch]
             futs = [f for _, f in batch]
             try:
@@ -195,6 +227,11 @@ class GenerationServer:
                 for f in futs:
                     if not f.done():
                         f.set_exception(e)
+        for dq in self._pending.values():
+            for _, fut in dq:
+                if not fut.done():
+                    fut.set_exception(ServerStopped("server stopped"))
+        self._pending.clear()
 
     def _execute(self, reqs: Sequence) -> np.ndarray:
         n = len(reqs)
@@ -243,8 +280,15 @@ class SD15Adapter(PipelineAdapter):
                 (h // 8, w // 8, 4), jnp.float32)
         )(seeds)
 
+        # eta>0 buckets are served at batch 1 (see _batch_limit), so the
+        # loop rng may be derived from the request's own seed — the
+        # stochastic DDIM noise is then seed-deterministic; for eta==0 the
+        # loop rng is unused and a constant key keeps programs cacheable
+        loop_rng = (
+            jax.random.fold_in(jax.random.PRNGKey(1), np.uint32(r0.seed))
+            if r0.eta > 0 else jax.random.PRNGKey(0))
         return self._gen(
-            params, jax.random.PRNGKey(0), ids, neg, pair, qry,
+            params, loop_rng, ids, neg, pair, qry,
             num_steps=r0.num_steps,
             guidance_scale=guidance,
             control_scale=control,
