@@ -136,6 +136,19 @@ class AdaLayerNormZero(nn.Module):
             kernel_init=nn.initializers.zeros, name="proj",
         )(jax.nn.silu(emb))
         mods = jnp.split(mods[:, None, :], self.n_mods, axis=-1)
+        if self.policy.quant == "int8":
+            # fused AdaLN→int8 epilogue: stats+modulate+quantize in one
+            # VMEM pass with per-row scales; the (int8, scale) pair feeds
+            # the q/k/v QuantDenses directly (ops/fused_adaln.py — kills
+            # round-2's per-tensor amax pass + HBM round-trip per site)
+            from prompt_diffusion_tpu.ops.fused_adaln import fused_adaln_quant
+
+            if self.n_mods == 6:
+                shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
+                pair = fused_adaln_quant(x, scale_msa, shift_msa)
+                return pair, gate_msa, shift_mlp, scale_mlp, gate_mlp
+            scale, shift = mods
+            return fused_adaln_quant(x, scale, shift)
         h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          dtype=self.policy.norm_dtype, name="norm")(x).astype(x.dtype)
         if self.n_mods == 6:
@@ -167,7 +180,9 @@ class JointBlock(nn.Module):
             from prompt_diffusion_tpu.ops.quant import QuantDense
 
             dense = lambda n, name, zero=False: QuantDense(
-                n, out_dtype=pol.compute_dtype, name=name)
+                n, out_dtype=pol.compute_dtype,
+                kernel_init=nn.initializers.zeros if zero else nn.initializers.lecun_normal(),
+                name=name)
         else:
             dense = lambda n, name, zero=False: nn.Dense(
                 n, dtype=pol.compute_dtype, param_dtype=jnp.float32,
@@ -185,32 +200,46 @@ class JointBlock(nn.Module):
             c_mod, c_gate, c_shift_mlp, c_scale_mlp, c_gate_mlp = AdaLayerNormZero(
                 pol, name="norm1_context"
             )(context, emb)
-        if pol.quant == "int8":
-            # quantize each AdaLN output ONCE for its three projections
-            from prompt_diffusion_tpu.ops.quant import quant_act_pair
-
-            h_mod = quant_act_pair(h_mod)
-            c_mod = quant_act_pair(c_mod)
-
+        # int8 mode: h_mod/c_mod arrive as (int8, row-scale) pairs straight
+        # from the fused AdaLN→int8 kernel (quantized ONCE for the three
+        # q/k/v projections; see AdaLayerNormZero)
         b, n_h = (h_mod[0] if isinstance(h_mod, tuple) else h_mod).shape[:2]
         n_c = (c_mod[0] if isinstance(c_mod, tuple) else c_mod).shape[1]
-        q = jnp.concatenate(
-            [dense(dim, "to_q")(h_mod), dense(dim, "add_q_proj")(c_mod)], axis=1
-        ).reshape(b, n_h + n_c, heads, hd)
-        k = jnp.concatenate(
-            [dense(dim, "to_k")(h_mod), dense(dim, "add_k_proj")(c_mod)], axis=1
-        ).reshape(b, n_h + n_c, heads, hd)
-        v = jnp.concatenate(
-            [dense(dim, "to_v")(h_mod), dense(dim, "add_v_proj")(c_mod)], axis=1
-        ).reshape(b, n_h + n_c, heads, hd)
-        attn = dot_product_attention(q, k, v, softmax_dtype=pol.softmax_dtype)
-        attn = attn.reshape(b, n_h + n_c, dim)
+        qp = jnp.concatenate(
+            [dense(dim, "to_q")(h_mod), dense(dim, "add_q_proj")(c_mod)], axis=1)
+        kp = jnp.concatenate(
+            [dense(dim, "to_k")(h_mod), dense(dim, "add_k_proj")(c_mod)], axis=1)
+        vp = jnp.concatenate(
+            [dense(dim, "to_v")(h_mod), dense(dim, "add_v_proj")(c_mod)], axis=1)
+        if pol.quant == "int8" and jax.default_backend() != "cpu":
+            # int8 QKᵀ/PV with fp32 softmax — attention is ~58% of the SD3
+            # ε-step (36 sites × 3.7 ms, tools/trace_sd3.py) and the last
+            # bf16 holdout in the int8 serving mode
+            from prompt_diffusion_tpu.ops.flash_attention import (
+                flash_attention_packed_int8,
+            )
+
+            attn = flash_attention_packed_int8(qp, kp, vp, heads)
+        else:
+            n = n_h + n_c
+            attn = dot_product_attention(
+                qp.reshape(b, n, heads, hd), kp.reshape(b, n, heads, hd),
+                vp.reshape(b, n, heads, hd), softmax_dtype=pol.softmax_dtype,
+            ).reshape(b, n, dim)
         attn_h, attn_c = attn[:, :n_h], attn[:, n_h:]
 
+        if pol.quant == "int8":
+            from prompt_diffusion_tpu.ops.fused_adaln import fused_adaln_quant
+
+            mod2 = lambda x, s, t, name: fused_adaln_quant(x, s, t)
+        else:
+            def mod2(x, s, t, name):
+                h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                                 dtype=pol.norm_dtype, name=name)(x).astype(x.dtype)
+                return h * (1 + s) + t
+
         hidden = hidden + h_gate * dense(dim, "to_out")(attn_h)
-        hn = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                          dtype=pol.norm_dtype, name="norm2")(hidden).astype(hidden.dtype)
-        hn = hn * (1 + h_scale_mlp) + h_shift_mlp
+        hn = mod2(hidden, h_scale_mlp, h_shift_mlp, "norm2")
         ff = dense(dim * 4, "ff_in")(hn)
         ff = dense(dim, "ff_out")(jax.nn.gelu(ff, approximate=True))
         hidden = hidden + h_gate_mlp * ff
@@ -218,9 +247,7 @@ class JointBlock(nn.Module):
         if self.context_pre_only:
             return hidden, None
         context = context + c_gate * dense(dim, "to_add_out")(attn_c)
-        cn = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                          dtype=pol.norm_dtype, name="norm2_context")(context).astype(context.dtype)
-        cn = cn * (1 + c_scale_mlp) + c_shift_mlp
+        cn = mod2(context, c_scale_mlp, c_shift_mlp, "norm2_context")
         cff = dense(dim * 4, "ff_context_in")(cn)
         cff = dense(dim, "ff_context_out")(jax.nn.gelu(cff, approximate=True))
         context = context + c_gate_mlp * cff

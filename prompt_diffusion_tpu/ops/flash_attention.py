@@ -87,15 +87,24 @@ def _flash_forward(q, k, v, scale):
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
 
-    block_q = _pick_block(nq, 512)
+    # Query rows are independent: pad Nq up to a friendly block multiple
+    # and slice the extra rows off after. Without this, sequence lengths
+    # with no power-of-two divisor (SD3 joint attention: 4096+154=4250)
+    # degenerate to ONE whole-sequence q block whose (Nq, Nk) fp32 logits
+    # (~72 MB) blow past VMEM.
+    nq_pad = (-nq) % 512 if nq >= 512 else 0
+    if nq_pad:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, nq_pad), (0, 0)))
+    nqp = nq + nq_pad
+    block_q = _pick_block(nqp, 512)
     block_k = _pick_block(nk, 512)
 
-    grid = (b, h, nq // block_q)
+    grid = (b, h, nqp // block_q)
     # CPU (tests, virtual meshes) runs the kernel in interpreter mode.
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((b, h, nq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, nqp, d), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda i, j, qb: (i, j, qb, 0), memory_space=pltpu.VMEM),
@@ -106,9 +115,9 @@ def _flash_forward(q, k, v, scale):
             (1, 1, block_q, d), lambda i, j, qb: (i, j, qb, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * nq * nk * d,
+            flops=4 * b * h * nqp * nk * d,
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize * 2,
-            transcendentals=b * h * nq * nk,
+            transcendentals=b * h * nqp * nk,
         ),
         compiler_params=pltpu.CompilerParams(
             # full-K/V residency at D=512 (VAE mid-attention) exceeds the
@@ -117,6 +126,8 @@ def _flash_forward(q, k, v, scale):
         ),
         interpret=interpret,
     )(qt, kt, vt)
+    if nq_pad:
+        out = out[:, :, :nq]
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
@@ -245,23 +256,28 @@ def _packed_forward(q, k, v, num_heads, scale):
     b, nq, hd = q.shape
     nk = k.shape[1]
     interpret = jax.default_backend() == "cpu"
+    # pad Nq to a block multiple (rows independent; see _flash_forward)
+    nq_pad = (-nq) % 256 if nq >= 256 else 0
+    if nq_pad:
+        q = jnp.pad(q, ((0, 0), (0, nq_pad), (0, 0)))
+    nqp = nq + nq_pad
     # full-K path whenever the per-head (block_q, Nk) fp32 logits row fits
     # VMEM comfortably (always true at PD scales: Nk ≤ 4096)
     if nk <= 8192:
-        block_q = _pick_block(nq, 256)
+        block_q = _pick_block(nqp, 256)
         kernel = functools.partial(
             _fa_packed_fullk_kernel, scale=scale, num_heads=num_heads
         )
     else:
-        block_q = _pick_block(nq, 512)
+        block_q = _pick_block(nqp, 512)
         kernel = functools.partial(
             _fa_packed_kernel, scale=scale, num_heads=num_heads,
             block_k=_pick_block(nk, 512),
         )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, nq, hd), q.dtype),
-        grid=(b, nq // block_q),
+        out_shape=jax.ShapeDtypeStruct((b, nqp, hd), q.dtype),
+        grid=(b, nqp // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda i, qb: (i, qb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -275,6 +291,7 @@ def _packed_forward(q, k, v, num_heads, scale):
         ),
         interpret=interpret,
     )(q, k, v)
+    return out[:, :nq] if nq_pad else out
 
 
 def _packed_ref(q, k, v, num_heads, scale):
@@ -305,3 +322,107 @@ def flash_attention_packed(q, k, v, num_heads: int, scale: Optional[float] = Non
     if scale is None:
         scale = (q.shape[-1] // num_heads) ** -0.5
     return _flash_packed(q, k, v, num_heads, float(scale))
+
+
+# ---------------------------------------------------------------------------
+# int8 QKᵀ/PV variant (serving mode): int8 MXU dots, fp32 softmax
+# ---------------------------------------------------------------------------
+#
+# The int8 serving mode quantizes the dense/conv sites but round 2 left
+# attention bf16 ("int8 attention" lever, docs/ROADMAP.md). Here:
+#   * K and V are quantized ONCE per site outside the kernel (per-row K
+#     scales for exact per-element logits reconstruction; per-COLUMN V
+#     scales — the contraction axis must not carry the scale).
+#   * Q is quantized per-row inside the kernel while the q-block is
+#     VMEM-resident (each row's scale multiplies a logits row).
+#   * logits = (q_i8 · k_i8ᵀ)_int32 · sq_row · sk_colᵀ · scale, softmax in
+#     fp32 (reference semantics), then P is re-quantized per-row to int8
+#     for the PV dot.
+# Inference-only: no VJP (the serving mode never trains).
+
+def _fa_packed_fullk_int8_kernel(q_ref, k_ref, sk_ref, v_ref, sv_ref, o_ref, *,
+                                 scale: float, num_heads: int):
+    q = q_ref[0]  # (block_q, H*D) storage dtype
+    d = q.shape[-1] // num_heads
+    for h in range(num_heads):
+        qh = q[:, h * d : (h + 1) * d].astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1, keepdims=True) / 127.0, 1e-8)
+        qi = jnp.clip(jnp.round(qh / sq), -127, 127).astype(jnp.int8)
+        ki = k_ref[0, :, h * d : (h + 1) * d]  # (Nk, D) int8
+        s32 = jax.lax.dot_general(
+            qi, ki, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )  # (block_q, Nk)
+        sk = sk_ref[0, h][None, :]  # (1, Nk) — sk laid out (B, H, Nk)
+        s = s32.astype(jnp.float32) * (sq * sk) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        # probs ∈ [0,1] with rowmax 1 → fixed 1/127 row scale is exact-max
+        pi = jnp.clip(jnp.round(p * 127.0), -127, 127).astype(jnp.int8)
+        vi = v_ref[0, :, h * d : (h + 1) * d]  # (Nk, D) int8
+        o32 = jax.lax.dot_general(
+            pi, vi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )  # (block_q, D)
+        sv = sv_ref[0, 0, h * d : (h + 1) * d][None, :]  # (1, D)
+        o = o32.astype(jnp.float32) * (sv / 127.0) / l
+        o_ref[0, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _quant_rows(x):
+    """(B, N, C) → int8 + per-(B,N) scales (contraction over C)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8)
+    return jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8), s
+
+
+def flash_attention_packed_int8(q, k, v, num_heads: int,
+                                scale: Optional[float] = None):
+    """int8-MXU attention over packed (B, N, H·D) tensors (serving mode).
+
+    K: per-(row, head) scales; V: per-column scales (amax over N); Q:
+    per-row scales computed in-kernel. fp32 softmax. Falls back to the
+    bf16 kernel on CPU."""
+    if scale is None:
+        scale = (q.shape[-1] // num_heads) ** -0.5
+    if jax.default_backend() == "cpu":
+        return flash_attention_packed(q, k, v, num_heads, scale)
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    d = hd // num_heads
+
+    kf = k.astype(jnp.float32).reshape(b, nk, num_heads, d)
+    skr = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1) / 127.0, 1e-8)  # (B, Nk, H)
+    ki = jnp.clip(jnp.round(kf / skr[..., None]), -127, 127).astype(jnp.int8)
+    ki = ki.reshape(b, nk, hd)
+    sk = jnp.transpose(skr, (0, 2, 1))  # (B, H, Nk): head on the sublane dim
+
+    vf = v.astype(jnp.float32)
+    # (B, 1, H·D): TPU block shapes must match the last TWO array dims
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True) / 127.0, 1e-8)
+    vi = jnp.clip(jnp.round(vf / sv), -127, 127).astype(jnp.int8)
+
+    nq_pad = (-nq) % 256 if nq >= 256 else 0
+    if nq_pad:
+        q = jnp.pad(q, ((0, 0), (0, nq_pad), (0, 0)))
+    nqp = nq + nq_pad
+    block_q = _pick_block(nqp, 256)
+    out = pl.pallas_call(
+        functools.partial(
+            _fa_packed_fullk_int8_kernel, scale=float(scale), num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((b, nqp, hd), q.dtype),
+        grid=(b, nqp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, qb: (i, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, nk), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda i, qb: (i, qb, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q, ki, sk, vi, sv)
+    return out[:, :nq] if nq_pad else out

@@ -1,0 +1,111 @@
+"""Serving throughput/latency under concurrent load (VERDICT r2 #8).
+
+Drives `serving/server.py` on the real chip with the FULL SD1.5 512²
+pipeline (random init — perf is weight-independent) and measures req/s +
+p50/p99 latency at 1/4/8/16 concurrent closed-loop clients, proving (or
+refuting) the micro-batching thesis against the serial batch-1 baseline.
+
+  python scripts/bench_serving.py --steps 50 --max-batch 8 --reqs 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+
+_T0 = time.perf_counter()
+
+
+def log(m):
+    print(f"[serve +{time.perf_counter() - _T0:.0f}s] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--reqs", type=int, default=6, help="requests per client")
+    ap.add_argument("--clients", default="1,4,8,16")
+    ap.add_argument("--flush-ms", type=float, default=50.0)
+    args = ap.parse_args()
+
+    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
+    from prompt_diffusion_tpu.serving.server import (
+        GenerationRequest,
+        GenerationServer,
+        ServerConfig,
+    )
+
+    pipe = PromptDiffusionSD15.create()
+    log("init params...")
+    params = jax.jit(lambda r: pipe.init_params(r, image_size=args.size))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    rng = np.random.default_rng(0)
+    proto = dict(
+        token_ids=rng.integers(0, 100, (77,)).astype(np.int32),
+        neg_token_ids=np.zeros((77,), np.int32),
+        example_pair=rng.uniform(-1, 1, (args.size, args.size, 6)).astype(np.float32),
+        query=rng.uniform(-1, 1, (args.size, args.size, 3)).astype(np.float32),
+        num_steps=args.steps,
+    )
+
+    server = GenerationServer(
+        pipe, params,
+        ServerConfig(max_batch=args.max_batch, flush_ms=args.flush_ms))
+    buckets = [1]
+    b = 2
+    while b <= args.max_batch:
+        buckets.append(b)
+        b *= 2
+    log(f"warming buckets {buckets} (one compile each — minutes per bucket)...")
+    for b in buckets:
+        t0 = time.perf_counter()
+        server.warmup(GenerationRequest(**proto, seed=0), batches=[b])
+        log(f"bucket {b} compiled+run in {time.perf_counter() - t0:.0f}s")
+    server.start()
+
+    print(f"| clients | reqs | wall s | req/s | p50 s | p99 s | batches | pad |")
+    print(f"|---|---|---|---|---|---|---|---|")
+    for c in [int(x) for x in args.clients.split(",")]:
+        lat = []
+        lock = threading.Lock()
+        server.stats.update({"requests": 0, "batches": 0, "padded_slots": 0})
+
+        def client(cid):
+            for r in range(args.reqs):
+                req = GenerationRequest(**proto, seed=cid * 1000 + r)
+                t0 = time.perf_counter()
+                img = server.generate(req, timeout=600)
+                dt = time.perf_counter() - t0
+                assert np.isfinite(img).all()
+                with lock:
+                    lat.append(dt)
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(c)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        lat = np.asarray(lat)
+        n = len(lat)
+        print(f"| {c} | {n} | {wall:.1f} | {n / wall:.3f} | "
+              f"{np.percentile(lat, 50):.2f} | {np.percentile(lat, 99):.2f} | "
+              f"{server.stats['batches']} | {server.stats['padded_slots']} |",
+              flush=True)
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()
