@@ -72,8 +72,15 @@ class PromptDiffusionSD3:
 
     # ---- text encoding ---------------------------------------------------
 
-    def encode_prompt(self, params, ids_l, ids_g, ids_t5=None, t5_len: int = 256):
-        """Returns (joint_seq (B, 77+L_t5, joint_dim), pooled (B, 2048))."""
+    def encode_prompt(self, params, ids_l, ids_g, ids_t5=None, t5_len: int = 256,
+                      t5_seq=None):
+        """Returns (joint_seq (B, 77+L_t5, joint_dim), pooled (B, 2048)).
+
+        `t5_seq` — precomputed T5 hidden states (B, L, joint_dim): the
+        staged-T5 path for chips whose HBM cannot co-resident T5-XXL with
+        the denoise graph (encode once via `encode_t5`, free the T5
+        weights, feed the cached sequence — also the natural serving-side
+        T5-embedding cache). Takes precedence over `ids_t5`."""
         joint_dim = self.transformer.config.joint_attention_dim
         out_l = self.clip_l.apply(params["clip_l"], ids_l, output_hidden_layer=2)
         out_g = self.clip_g.apply(params["clip_g"], ids_g, output_hidden_layer=2)
@@ -81,11 +88,21 @@ class PromptDiffusionSD3:
         pad = joint_dim - clip_seq.shape[-1]
         clip_seq = jnp.pad(clip_seq, ((0, 0), (0, 0), (0, pad)))
         pooled = jnp.concatenate([out_l["pooled"], out_g["pooled"]], axis=-1)
-        if self.t5 is not None and ids_t5 is not None:
+        if t5_seq is not None:
+            t5_seq = t5_seq.astype(jnp.float32)
+        elif self.t5 is not None and ids_t5 is not None:
             t5_seq = self.t5.apply(params["t5"], ids_t5)
         else:
             t5_seq = jnp.zeros((ids_l.shape[0], t5_len, joint_dim), jnp.float32)
         return jnp.concatenate([clip_seq, t5_seq], axis=1), pooled
+
+    @staticmethod
+    def encode_t5(t5: T5Encoder, t5_params, ids_t5):
+        """Standalone jitted T5 forward for the staged path (reference
+        triple-encode `encode_prompt` :351-543 runs T5 in the same process;
+        on a 16 GB chip the XXL weights are loaded, run once per prompt,
+        and freed before the denoise program)."""
+        return jax.jit(t5.apply)(t5_params, ids_t5)
 
     # ---- VAE helpers -----------------------------------------------------
 
@@ -122,16 +139,20 @@ class PromptDiffusionSD3:
         controlnet_conditioning_scale: float = 1.0,
         shift: float = 3.0,
         init_noise=None,
+        t5_seq=None,      # precomputed T5 states for the cond prompt
+        neg_t5_seq=None,  # ... and the uncond prompt (staged-T5 path)
     ) -> jnp.ndarray:
         b, img_h, img_w, _ = control_image.shape
         lat_h, lat_w = img_h // 8, img_w // 8
         zc = self.vae.config.z_channels
 
         ctx_c, pool_c = self.encode_prompt(
-            params, prompt_ids["l"], prompt_ids["g"], prompt_ids.get("t5")
+            params, prompt_ids["l"], prompt_ids["g"], prompt_ids.get("t5"),
+            t5_seq=t5_seq,
         )
         ctx_u, pool_u = self.encode_prompt(
-            params, neg_prompt_ids["l"], neg_prompt_ids["g"], neg_prompt_ids.get("t5")
+            params, neg_prompt_ids["l"], neg_prompt_ids["g"], neg_prompt_ids.get("t5"),
+            t5_seq=neg_t5_seq,
         )
         context2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
         pooled2 = jnp.concatenate([pool_u, pool_c], axis=0)

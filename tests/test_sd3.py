@@ -135,3 +135,37 @@ def test_sd3_train_step(sd3):
     diff = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), state.trainable, new_state.trainable)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_sd3_staged_t5_matches_in_graph(sd3):
+    """Staged T5 (encode once via `encode_t5`, feed `t5_seq=`) must produce
+    byte-identical images to running T5 inside the generate graph — the
+    16 GB-chip deployment path for the triple-encoder configuration
+    (reference encode_prompt :351-543 runs T5 in-process)."""
+    import dataclasses
+
+    from prompt_diffusion_tpu.models.t5_text import T5Config, T5Encoder
+
+    pipe, params = sd3
+    t5 = T5Encoder(config=T5Config(vocab_size=50, d_model=64, d_kv=8, d_ff=96,
+                                   num_layers=2, num_heads=4), policy=POL)
+    ids_t5 = jnp.arange(8, dtype=jnp.int32)[None, :] % 50
+    params_t5 = dict(params, t5=jax.jit(t5.init)(jax.random.PRNGKey(3), ids_t5))
+    pipe_t5 = dataclasses.replace(pipe, t5=t5)
+
+    ids = {"l": jnp.zeros((1, 77), jnp.int32), "g": jnp.zeros((1, 77), jnp.int32)}
+    ids_in = dict(ids, t5=ids_t5)
+    img = jnp.zeros((1, 64, 64, 3))
+
+    in_graph = pipe_t5.jit_generate()(
+        params_t5, jax.random.PRNGKey(0), ids_in, ids_in, img, img, img,
+        num_steps=2, guidance_scale=7.0)
+
+    t5_seq = PromptDiffusionSD3.encode_t5(t5, params_t5["t5"], ids_t5)
+    staged = pipe.jit_generate()(
+        params, jax.random.PRNGKey(0), ids, ids, img, img, img,
+        num_steps=2, guidance_scale=7.0, t5_seq=t5_seq, neg_t5_seq=t5_seq)
+
+    assert float(jnp.abs(t5_seq).max()) > 0  # T5 actually contributes
+    np.testing.assert_allclose(
+        np.asarray(staged), np.asarray(in_graph), atol=1e-6)
