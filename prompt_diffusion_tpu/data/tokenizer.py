@@ -96,9 +96,13 @@ class CLIPTokenizer:
     def add_tokens(self, mapping: dict):
         """Register placeholder tokens (textual inversion): token text →
         list of embedding-table ids (multi-vector TI expands to several
-        consecutive ids, diffusers TextualInversionLoaderMixin semantics)."""
+        consecutive ids, diffusers TextualInversionLoaderMixin semantics).
+
+        Keys are lowercased because `encode_text` matches against the
+        `_basic_clean`-lowercased prompt — a mixed-case placeholder (e.g.
+        an A1111 'EasyNegative' embedding) must still hit its table rows."""
         self.added_tokens.update(
-            {t: list(ids) if isinstance(ids, (list, tuple)) else [ids]
+            {t.lower(): list(ids) if isinstance(ids, (list, tuple)) else [ids]
              for t, ids in mapping.items()})
 
     @functools.lru_cache(maxsize=32768)
@@ -178,8 +182,9 @@ class HashTokenizer:
         self.added_tokens: dict = {}
 
     def add_tokens(self, mapping: dict):
+        # lowercased keys — see CLIPTokenizer.add_tokens
         self.added_tokens.update(
-            {t: list(ids) if isinstance(ids, (list, tuple)) else [ids]
+            {t.lower(): list(ids) if isinstance(ids, (list, tuple)) else [ids]
              for t, ids in mapping.items()})
 
     def encode_text(self, text: str) -> List[int]:

@@ -84,6 +84,38 @@ def psum_stats(raw_sum: jnp.ndarray, raw_outer: jnp.ndarray, count: jnp.ndarray,
     )
 
 
+def _make_sharded_stats_run(feature_fn, mesh):
+    """Build the jitted shard_map program ONCE — callers streaming many
+    batches must reuse it (a fresh closure per batch would recompile the
+    whole feature graph every time)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+    axes = tuple(mesh.axis_names)
+
+    def shard_fn(xs):
+        f = feature_fn(xs).astype(jnp.float32)
+        return psum_stats(jnp.sum(f, 0), f.T @ f,
+                          jnp.asarray(xs.shape[0], jnp.float32), axes)
+
+    run = jax.jit(
+        shard_map(shard_fn, mesh=mesh, in_specs=P(axes), out_specs=(P(), P(), P()))
+    )
+
+    def call(images) -> FeatureStats:
+        x = jax.device_put(jnp.asarray(images), NamedSharding(mesh, P(axes)))
+        s, o, c = run(x)
+        return FeatureStats(
+            np.asarray(s, np.float64), np.asarray(o, np.float64), int(c)
+        )
+
+    return call
+
+
 def compute_stats_sharded(
     feature_fn: Callable[[jnp.ndarray], jnp.ndarray],
     images: np.ndarray,
@@ -95,31 +127,10 @@ def compute_stats_sharded(
     `psum_stats` — the exact analogue of the reference's per-rank feature
     pass + NCCL all_reduce (eval/fid.py:53-77). `images` (N,H,W,3) in
     [0,1]; N must divide by the device count."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    try:
-        from jax import shard_map
-    except ImportError:  # pre-0.8 jax
-        from jax.experimental.shard_map import shard_map
-
-    axes = tuple(mesh.axis_names)
-    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     if images.shape[0] % n_dev:
         raise ValueError(f"batch {images.shape[0]} not divisible by {n_dev} devices")
-
-    def shard_fn(xs):
-        f = feature_fn(xs).astype(jnp.float32)
-        return psum_stats(jnp.sum(f, 0), f.T @ f,
-                          jnp.asarray(xs.shape[0], jnp.float32), axes)
-
-    run = jax.jit(
-        shard_map(shard_fn, mesh=mesh, in_specs=P(axes), out_specs=(P(), P(), P()))
-    )
-    x = jax.device_put(jnp.asarray(images), NamedSharding(mesh, P(axes)))
-    s, o, c = run(x)
-    return FeatureStats(
-        np.asarray(s, np.float64), np.asarray(o, np.float64), int(c)
-    )
+    return _make_sharded_stats_run(feature_fn, mesh)(images)
 
 
 def compute_stats_from_iterator_sharded(
@@ -128,16 +139,14 @@ def compute_stats_from_iterator_sharded(
     """Streaming variant of `compute_stats_sharded`: full device-multiples
     go through the sharded psum path; a final partial batch falls back to
     the single-device path (padding would corrupt the statistics)."""
-    axes = tuple(mesh.axis_names)
-    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     stats = FeatureStats.zero(feature_dim)
     single = jax.jit(feature_fn)
+    run = _make_sharded_stats_run(feature_fn, mesh)  # ONE program for the stream
     for batch in batches:
         n_full = (batch.shape[0] // n_dev) * n_dev
         if n_full:
-            stats = stats.merge(
-                compute_stats_sharded(feature_fn, batch[:n_full], mesh, feature_dim)
-            )
+            stats = stats.merge(run(batch[:n_full]))
         if n_full < batch.shape[0]:
             stats = stats.update(np.asarray(single(jnp.asarray(batch[n_full:]))))
     return stats

