@@ -110,18 +110,21 @@ def eps_relerr_sd15(pipe_bf, pipe_i8, params, size):
     pair = jnp.asarray(rng.uniform(-1, 1, (b, size, size, 6)), jnp.float32)
     query = jnp.asarray(rng.uniform(-1, 1, (b, size, size, 3)), jnp.float32)
 
-    def eps(pipe, tb):
-        control = pipe.controlnet.apply(params["controlnet"], x, tb, pair, query, ctx)
-        return pipe.unet.apply(params["unet"], x, tb, ctx, control=control)
+    def eps(pipe, p, tb):
+        # params MUST be a jit argument, not a closure capture — captured
+        # params become multi-GB inline constants in the lowered program,
+        # which stalls the remote-compile tunnel
+        control = pipe.controlnet.apply(p["controlnet"], x, tb, pair, query, ctx)
+        return pipe.unet.apply(p["unet"], x, tb, ctx, control=control)
 
     # t is traced → ONE compile per pipe, not one per timestep
-    eps_bf = jax.jit(lambda tb: eps(pipe_bf, tb))
-    eps_i8 = jax.jit(lambda tb: eps(pipe_i8, tb))
+    eps_bf = jax.jit(lambda p, tb: eps(pipe_bf, p, tb))
+    eps_i8 = jax.jit(lambda p, tb: eps(pipe_i8, p, tb))
     errs = {}
     for t in (1, 250, 500, 750, 999):
         tb = jnp.full((b,), t, jnp.int32)
-        a = np.asarray(eps_bf(tb)).astype(np.float64)
-        c = np.asarray(eps_i8(tb)).astype(np.float64)
+        a = np.asarray(eps_bf(params, tb)).astype(np.float64)
+        c = np.asarray(eps_i8(params, tb)).astype(np.float64)
         errs[t] = float(np.linalg.norm(c - a) / max(np.linalg.norm(a), 1e-9))
     return errs
 
