@@ -63,13 +63,57 @@ def main():
 
     def conv_int8(x, w):
         def body(c, i):
+            # PERTURB the input each iteration — a loop-invariant body gets
+            # hoisted out of the scan and the timing measures ONE conv
+            xp = x + (i % 2).astype(jnp.int8)
             o = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME", dimension_numbers=dn,
+                xp, w, (1, 1), "SAME", dimension_numbers=dn,
                 preferred_element_type=jnp.int32)
-            return c + jnp.sum(o) + i * 0, None
-        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+            return c + jnp.sum(o), None
+        return jax.lax.scan(body, jnp.int32(0), jnp.arange(n))[0]
 
     timed(conv_int8, (xi, wi), "conv3x3 320ch int8", flops, n)
+
+    # --- decomposed int8 convs: do int8 DOTS beat the int8 conv lowering? --
+    def conv9_int8(x, w):
+        """3×3 SAME conv as 9 shifted (BHW,C)@(C,C) int8 dots, int32 accum."""
+        def one(xp):
+            acc = None
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    xs = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))[
+                        :, dy:dy + H, dx:dx + W, :]
+                    o = jax.lax.dot_general(
+                        xs.reshape(B * H * W, C), w[dy, dx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = o if acc is None else acc + o
+            return acc
+
+        def body(c, i):
+            return c + jnp.sum(one(x + (i % 2).astype(jnp.int8))), None
+        return jax.lax.scan(body, jnp.int32(0), jnp.arange(n))[0]
+
+    timed(conv9_int8, (xi, wi), "conv3x3 as 9 int8 dots", flops, n)
+
+    def conv_im2col_int8(x, w):
+        """3×3 SAME conv as ONE (BHW, 9C)@(9C, C) int8 dot."""
+        wf = w.reshape(9 * C, C)
+
+        def one(xp):
+            p = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            cols = jnp.concatenate(
+                [p[:, dy:dy + H, dx:dx + W, :]
+                 for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=-1)
+            return jax.lax.dot_general(
+                cols.reshape(B * H * W, 9 * C), wf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def body(c, i):
+            return c + jnp.sum(one(x + (i % 2).astype(jnp.int8))), None
+        return jax.lax.scan(body, jnp.int32(0), jnp.arange(n))[0]
+
+    timed(conv_im2col_int8, (xi, wi), "conv3x3 im2col int8 dot", flops, n)
 
     # --- GEGLU FF dot: (B*N, 320) @ (320, 2560) --------------------------
     M, K, N2 = B * H * W, C, 2560
@@ -91,10 +135,11 @@ def main():
 
     def dot_int8(a, b):
         def body(c, i):
-            o = jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+            o = jax.lax.dot_general(a + (i % 2).astype(jnp.int8), b,
+                                    (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            return c + jnp.sum(o) + i * 0, None
-        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+            return c + jnp.sum(o), None
+        return jax.lax.scan(body, jnp.int32(0), jnp.arange(n))[0]
 
     timed(dot_int8, (ai, bi), "dense 320->2560 int8", dflops, n)
 

@@ -22,13 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
-def build(batch, size=512, context_dim=768):
+def build(batch, size=512, context_dim=768, int8=False):
     from prompt_diffusion_tpu.models.controlnet_sd15 import ControlNetSD15
     from prompt_diffusion_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from prompt_diffusion_tpu.utils.dtypes import default_policy, int8_policy
 
     cfg = UNetConfig()
-    unet = UNetSD15(config=cfg)
-    cnet = ControlNetSD15(config=cfg)
+    pol = int8_policy() if int8 else default_policy()
+    unet = UNetSD15(config=cfg, policy=pol)
+    cnet = ControlNetSD15(config=cfg, policy=pol)
     lat = jnp.zeros((batch, size // 8, size // 8, 4), jnp.float32)
     t = jnp.zeros((batch,), jnp.int32)
     ctx = jnp.zeros((batch, 77, context_dim), jnp.float32)

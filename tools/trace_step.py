@@ -25,13 +25,15 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--int8", action="store_true")
     ap.add_argument("--logdir", default="/tmp/pd_trace")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
 
     from tools.step_probe import build
 
-    unet, cnet, uparams, cparams, (lat, t, ctx, pair, query) = build(args.batch)
+    unet, cnet, uparams, cparams, (lat, t, ctx, pair, query) = build(
+        args.batch, int8=args.int8)
     hint = cnet.apply(cparams, example_pair=pair, query=query, hint_only=True)
 
     def step(x, i):
