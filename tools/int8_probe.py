@@ -34,13 +34,16 @@ def timed(fn, args, label, flops, trips):
         t0 = time.perf_counter()
         float(jnp.asarray(fj(*pert), jnp.float32))
         best = min(best, time.perf_counter() - t0)
+    # flops is the TOTAL over all trips; best is the TOTAL wall (incl. one
+    # ~28 ms tunnel RTT — use trips large enough that compute dominates)
     per = best / trips
-    print(f"{label}: {per * 1e3:.2f} ms  {flops / per / 1e12:.1f} T(FL)OP/s")
+    print(f"{label}: {per * 1e3:.3f} ms/op  {flops / best / 1e12:.1f} T(FL)OP/s")
     return per
 
 
 def main():
-    n = 20
+    n = 1000  # one scan iteration is ~0.4-2 ms; the tunnel RTT is ~28 ms —
+    # n must be large enough that compute dominates the readback latency
     B, H, W, C = 8, 64, 64, 320
 
     # --- 3x3 conv, 320ch (in_conv shape) ---------------------------------
@@ -49,12 +52,16 @@ def main():
     dn = jax.lax.conv_dimension_numbers(xb.shape, wb.shape, ("NHWC", "HWIO", "NHWC"))
     flops = 2 * B * H * W * C * C * 9 * n
 
+    # every body must chain the NEXT input through the PREVIOUS output —
+    # i-based perturbation only cycles a couple of distinct inputs and this
+    # runtime serves identical (op, inputs) executions from a cache
+    # (observed: "641 TF/s bf16 conv", 4.6x over the physically achievable)
     def conv_bf16(x, w):
-        def body(c, i):
-            o = jax.lax.conv_general_dilated(x + i.astype(jnp.bfloat16), w,
-                                             (1, 1), "SAME", dimension_numbers=dn)
-            return c + jnp.sum(o.astype(jnp.float32)), None
-        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+        def body(xc, _):
+            o = jax.lax.conv_general_dilated(xc, w, (1, 1), "SAME",
+                                             dimension_numbers=dn)
+            return (xc + 1e-6 * o).astype(xc.dtype), None
+        return jnp.sum(jax.lax.scan(body, x, jnp.arange(n))[0].astype(jnp.float32))
 
     timed(conv_bf16, (xb, wb), "conv3x3 320ch bf16", flops, n)
 
@@ -62,15 +69,12 @@ def main():
     wi = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, C, C)) * 20).astype(jnp.int8)
 
     def conv_int8(x, w):
-        def body(c, i):
-            # PERTURB the input each iteration — a loop-invariant body gets
-            # hoisted out of the scan and the timing measures ONE conv
-            xp = x + (i % 2).astype(jnp.int8)
+        def body(xc, _):
             o = jax.lax.conv_general_dilated(
-                xp, w, (1, 1), "SAME", dimension_numbers=dn,
+                xc, w, (1, 1), "SAME", dimension_numbers=dn,
                 preferred_element_type=jnp.int32)
-            return c + jnp.sum(o), None
-        return jax.lax.scan(body, jnp.int32(0), jnp.arange(n))[0]
+            return xc + (o & 1).astype(jnp.int8), None
+        return jnp.sum(jax.lax.scan(body, x, jnp.arange(n))[0].astype(jnp.int32))
 
     timed(conv_int8, (xi, wi), "conv3x3 320ch int8", flops, n)
 
@@ -90,9 +94,10 @@ def main():
                     acc = o if acc is None else acc + o
             return acc
 
-        def body(c, i):
-            return c + jnp.sum(one(x + (i % 2).astype(jnp.int8))), None
-        return jax.lax.scan(body, jnp.int32(0), jnp.arange(n))[0]
+        def body(xc, _):
+            o = one(xc).reshape(B, H, W, C)
+            return xc + (o & 1).astype(jnp.int8), None
+        return jnp.sum(jax.lax.scan(body, x, jnp.arange(n))[0].astype(jnp.int32))
 
     timed(conv9_int8, (xi, wi), "conv3x3 as 9 int8 dots", flops, n)
 
@@ -109,9 +114,10 @@ def main():
                 cols.reshape(B * H * W, 9 * C), wf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
 
-        def body(c, i):
-            return c + jnp.sum(one(x + (i % 2).astype(jnp.int8))), None
-        return jax.lax.scan(body, jnp.int32(0), jnp.arange(n))[0]
+        def body(xc, _):
+            o = one(xc).reshape(B, H, W, C)
+            return xc + (o & 1).astype(jnp.int8), None
+        return jnp.sum(jax.lax.scan(body, x, jnp.arange(n))[0].astype(jnp.int32))
 
     timed(conv_im2col_int8, (xi, wi), "conv3x3 im2col int8 dot", flops, n)
 
@@ -122,10 +128,13 @@ def main():
     dflops = 2 * M * K * N2 * n
 
     def dot_bf16(a, b):
-        def body(c, i):
-            o = jnp.dot(a + i.astype(jnp.bfloat16), b)
-            return c + jnp.sum(o.astype(jnp.float32)), None
-        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+        def body(ac, _):
+            o = jnp.dot(ac, b)
+            # chain must CONSUME every output column — feeding back a slice
+            # lets XLA dead-code-eliminate the unsliced columns of the dot
+            r = jnp.sum(o.astype(jnp.float32), axis=-1, keepdims=True)
+            return (ac + 1e-6 * r).astype(ac.dtype), None
+        return jnp.sum(jax.lax.scan(body, a, jnp.arange(n))[0].astype(jnp.float32))
 
     timed(dot_bf16, (a, b), "dense 320->2560 bf16", dflops, n)
 
@@ -134,12 +143,12 @@ def main():
     ai, bi = jnp.asarray(ai), jnp.asarray(bi)
 
     def dot_int8(a, b):
-        def body(c, i):
-            o = jax.lax.dot_general(a + (i % 2).astype(jnp.int8), b,
-                                    (((1,), (0,)), ((), ())),
+        def body(ac, _):
+            o = jax.lax.dot_general(ac, b, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            return c + jnp.sum(o), None
-        return jax.lax.scan(body, jnp.int32(0), jnp.arange(n))[0]
+            r = jnp.sum(o, axis=-1, keepdims=True)  # consume ALL columns
+            return ac + (r & 1).astype(jnp.int8), None
+        return jnp.sum(jax.lax.scan(body, a, jnp.arange(n))[0].astype(jnp.int32))
 
     timed(dot_int8, (ai, bi), "dense 320->2560 int8", dflops, n)
 
@@ -149,10 +158,11 @@ def main():
     aflops = 2 * (B * 8) * 4096 * 4096 * 40 * n
 
     def qk_bf16(q, k):
-        def body(c, i):
-            o = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))))
-            return c + jnp.sum(o.astype(jnp.float32)), None
-        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+        def body(qc, _):
+            o = jax.lax.dot_general(qc, k, (((2,), (2,)), ((0,), (0,))))
+            r = jnp.sum(o.astype(jnp.float32), axis=-1, keepdims=True)
+            return (qc + 1e-6 * r).astype(qc.dtype), None
+        return jnp.sum(jax.lax.scan(body, q, jnp.arange(n))[0].astype(jnp.float32))
 
     timed(qk_bf16, (q, k), "qk^T D=40 bf16", aflops, n)
 
