@@ -319,10 +319,17 @@ def main():
                     help="sd3: run the real T5-XXL encoder on-chip (staged: "
                          "encode once, free weights, denoise) instead of "
                          "drop_t5 zero-padded slots")
-    ap.add_argument("--int8", action="store_true",
+    ap.add_argument("--int8", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="int8 W8A8 quantized serving mode for the UNet/"
-                         "ControlNet hot loop (~1.7x MXU rate; see ops/quant.py)")
+                         "ControlNet/MMDiT hot loop (~1.7x MXU rate; see "
+                         "ops/quant.py). DEFAULT ON for sd15/sd3: it is the "
+                         "recorded serving mode — quality-validated on-chip "
+                         "(FID drift 45-67x below the sampling-split floor, "
+                         "docs/ROADMAP.md). --no-int8 for exact-bf16 numerics.")
     args = ap.parse_args()
+    if args.int8 is None:
+        args.int8 = args.config in ("sd15", "sd3")
     {"sd15": bench_sd15, "sd3": bench_sd3,
      "annotate": bench_annotate, "train": bench_train}[args.config](args)
 

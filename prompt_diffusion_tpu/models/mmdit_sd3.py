@@ -212,7 +212,7 @@ class JointBlock(nn.Module):
         vp = jnp.concatenate(
             [dense(dim, "to_v")(h_mod), dense(dim, "add_v_proj")(c_mod)], axis=1)
         if pol.quant == "int8" and jax.default_backend() != "cpu":
-            # int8 QKᵀ/PV with fp32 softmax — attention is ~58% of the SD3
+            # int8 QKᵀ (bf16 PV) with fp32 softmax — attention is ~58% of the SD3
             # ε-step (36 sites × 3.7 ms, tools/trace_sd3.py) and the last
             # bf16 holdout in the int8 serving mode
             from prompt_diffusion_tpu.ops.flash_attention import (

@@ -329,18 +329,23 @@ def flash_attention_packed(q, k, v, num_heads: int, scale: Optional[float] = Non
 # ---------------------------------------------------------------------------
 #
 # The int8 serving mode quantizes the dense/conv sites but round 2 left
-# attention bf16 ("int8 attention" lever, docs/ROADMAP.md). Here:
-#   * K and V are quantized ONCE per site outside the kernel (per-row K
-#     scales for exact per-element logits reconstruction; per-COLUMN V
-#     scales — the contraction axis must not carry the scale).
+# attention bf16 ("int8 attention" lever, docs/ROADMAP.md). This is the
+# lab's winning variant (tools/attn_int8_lab.py "v3"; at the SD3 joint
+# shape B2 N4250 H24 D64: 4.52 ms/site vs 4.99 bf16 vs 5.04 for the
+# round-3 v1 kernel that also int8-quantized P·V, rel-err 0.51% vs 1.0%):
+#   * K is quantized ONCE per site outside the kernel with a per-HEAD
+#     scalar scale — it folds into the softmax `scale` multiplier, so the
+#     logits dequant is ONE fused column-broadcast multiply instead of a
+#     row-vector × column-vector pair of N² VPU passes.
 #   * Q is quantized per-row inside the kernel while the q-block is
 #     VMEM-resident (each row's scale multiplies a logits row).
-#   * logits = (q_i8 · k_i8ᵀ)_int32 · sq_row · sk_colᵀ · scale, softmax in
-#     fp32 (reference semantics), then P is re-quantized per-row to int8
-#     for the PV dot.
+#   * logits = (q_i8 · k_i8ᵀ)_int32 · sq_row · (sk_head · scale), softmax
+#     in fp32 (reference semantics).
+#   * P·V stays bf16: dropping the P-requant + V-quant saves ~3 N² VPU
+#     passes, worth more than the int8 MXU rate on the (N, D) dot.
 # Inference-only: no VJP (the serving mode never trains).
 
-def _fa_packed_fullk_int8_kernel(q_ref, k_ref, sk_ref, v_ref, sv_ref, o_ref, *,
+def _fa_packed_fullk_int8_kernel(q_ref, k_ref, skh_ref, v_ref, o_ref, *,
                                  scale: float, num_heads: int):
     q = q_ref[0]  # (block_q, H*D) storage dtype
     d = q.shape[-1] // num_heads
@@ -352,20 +357,16 @@ def _fa_packed_fullk_int8_kernel(q_ref, k_ref, sk_ref, v_ref, sv_ref, o_ref, *,
         s32 = jax.lax.dot_general(
             qi, ki, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )  # (block_q, Nk)
-        sk = sk_ref[0, h][None, :]  # (1, Nk) — sk laid out (B, H, Nk)
-        s = s32.astype(jnp.float32) * (sq * sk) * scale
+        s = s32.astype(jnp.float32) * (sq * (skh_ref[0, 0, h] * scale))
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        # probs ∈ [0,1] with rowmax 1 → fixed 1/127 row scale is exact-max
-        pi = jnp.clip(jnp.round(p * 127.0), -127, 127).astype(jnp.int8)
-        vi = v_ref[0, :, h * d : (h + 1) * d]  # (Nk, D) int8
-        o32 = jax.lax.dot_general(
-            pi, vi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        vh = v_ref[0, :, h * d : (h + 1) * d]  # (Nk, D) storage dtype
+        o = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (block_q, D)
-        sv = sv_ref[0, 0, h * d : (h + 1) * d][None, :]  # (1, D)
-        o = o32.astype(jnp.float32) * (sv / 127.0) / l
-        o_ref[0, :, h * d : (h + 1) * d] = o.astype(o_ref.dtype)
+        o_ref[0, :, h * d : (h + 1) * d] = (o / l).astype(o_ref.dtype)
 
 
 def _quant_rows(x):
@@ -377,11 +378,11 @@ def _quant_rows(x):
 
 def flash_attention_packed_int8(q, k, v, num_heads: int,
                                 scale: Optional[float] = None):
-    """int8-MXU attention over packed (B, N, H·D) tensors (serving mode).
+    """int8-QKᵀ attention over packed (B, N, H·D) tensors (serving mode).
 
-    K: per-(row, head) scales; V: per-column scales (amax over N); Q:
-    per-row scales computed in-kernel. fp32 softmax. Falls back to the
-    bf16 kernel on CPU."""
+    K: per-head scalar scales (folded into the softmax scale); Q: per-row
+    scales computed in-kernel; P·V in bf16; fp32 softmax. Falls back to
+    the bf16 kernel on CPU."""
     if scale is None:
         scale = (q.shape[-1] // num_heads) ** -0.5
     if jax.default_backend() == "cpu":
@@ -391,15 +392,10 @@ def flash_attention_packed_int8(q, k, v, num_heads: int,
     d = hd // num_heads
 
     kf = k.astype(jnp.float32).reshape(b, nk, num_heads, d)
-    skr = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1) / 127.0, 1e-8)  # (B, Nk, H)
-    ki = jnp.clip(jnp.round(kf / skr[..., None]), -127, 127).astype(jnp.int8)
+    skh = jnp.maximum(jnp.max(jnp.abs(kf), axis=(1, 3)) / 127.0, 1e-8)  # (B, H)
+    ki = jnp.clip(jnp.round(kf / skh[:, None, :, None]), -127, 127).astype(jnp.int8)
     ki = ki.reshape(b, nk, hd)
-    sk = jnp.transpose(skr, (0, 2, 1))  # (B, H, Nk): head on the sublane dim
-
-    vf = v.astype(jnp.float32)
-    # (B, 1, H·D): TPU block shapes must match the last TWO array dims
-    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True) / 127.0, 1e-8)
-    vi = jnp.clip(jnp.round(vf / sv), -127, 127).astype(jnp.int8)
+    skh = skh[:, None, :]  # (B, 1, H): TPU blocks match the last TWO dims
 
     nq_pad = (-nq) % 256 if nq >= 256 else 0
     if nq_pad:
@@ -414,9 +410,8 @@ def flash_attention_packed_int8(q, k, v, num_heads: int,
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda i, qb: (i, qb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_heads, nk), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, num_heads), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, qb: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda i, qb: (i, qb, 0),
                                memory_space=pltpu.VMEM),
@@ -424,5 +419,5 @@ def flash_attention_packed_int8(q, k, v, num_heads: int,
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(q, ki, sk, vi, sv)
+    )(q, ki, skh, v)
     return out[:, :nq] if nq_pad else out

@@ -34,6 +34,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from prompt_diffusion_tpu.ops.int8_conv import (
+    conv3x3_int8,
+    conv3x3_int8_supported,
+)
+
 _EPS = 1e-8
 
 
@@ -88,15 +93,43 @@ class QuantConv(nn.Module):
         init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
         kernel = self.param("kernel", init, (kh, kw, cin, self.features), jnp.float32)
         wq, s_w = _quant_weight(kernel, reduce_axes=(0, 1, 2))  # (1,1,1,Cout)
-        pad = [(self.padding, self.padding)] * 2
-        dn = jax.lax.conv_dimension_numbers(xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
-        o = jax.lax.conv_general_dilated(
-            xq, wq, self.strides, pad, dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
-        )
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                if self.use_bias else None)
+
+        b, h, w = xq.shape[:3]
+        if (
+            (kh, kw) == (3, 3)
+            and self.strides == (1, 1)
+            and self.padding == 1
+            and jax.default_backend() != "cpu"
+            and conv3x3_int8_supported(h, w, cin, self.features)
+        ):
+            # Pallas kernel: int8 MXU dots at the dense rate (~235 TOP/s)
+            # vs XLA's slow int8 conv lowering (~118 TF/s) — see
+            # ops/int8_conv.py. Bit-identical int32 accumulation.
+            s_a_vec = jnp.broadcast_to(
+                jnp.asarray(s_a, jnp.float32).reshape(-1), (b,))
+            return conv3x3_int8(
+                xq, s_a_vec, wq, s_w.reshape(-1), bias,
+                out_dtype=self.out_dtype)
+
+        if (kh, kw) == (1, 1) and self.strides == (1, 1):
+            # 1x1 conv IS a dense layer — use the int8 dot path (fast MXU
+            # lowering) instead of the conv lowering.
+            o = jax.lax.dot_general(
+                xq, wq.reshape(cin, self.features), (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            pad = [(self.padding, self.padding)] * 2
+            dn = jax.lax.conv_dimension_numbers(
+                xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+            o = jax.lax.conv_general_dilated(
+                xq, wq, self.strides, pad, dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
         out = o.astype(jnp.float32) * (s_a * s_w.reshape(1, 1, 1, -1))
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if bias is not None:
             out = out + bias
         return out.astype(self.out_dtype)
 

@@ -121,6 +121,50 @@ def main():
 
     timed(conv_im2col_int8, (xi, wi), "conv3x3 im2col int8 dot", flops, n)
 
+    # --- Pallas int8 conv kernel (ops/int8_conv.py) -----------------------
+    from prompt_diffusion_tpu.ops.int8_conv import conv3x3_int8
+
+    sa = jnp.ones((B,), jnp.float32)
+    sw = jnp.ones((C,), jnp.float32)
+    wi4 = jnp.asarray(
+        (np.random.default_rng(2).normal(size=(3, 3, C, C)) * 20), jnp.int8)
+
+    def conv_pallas_int8(x, w):
+        def body(xc, _):
+            o = conv3x3_int8(xc, sa, w, sw, None, out_dtype=jnp.float32)
+            return xc + (jnp.round(o).astype(jnp.int32) & 1).astype(jnp.int8), None
+        return jnp.sum(jax.lax.scan(body, x, jnp.arange(n))[0].astype(jnp.int32))
+
+    timed(conv_pallas_int8, (xi, wi4), "conv3x3 PALLAS int8", flops, n)
+
+    # deeper-level hot shapes
+    for (hh, cc) in [(32, 640), (16, 1280)]:
+        xi2 = (np.random.default_rng(3).normal(size=(B, hh, hh, cc)) * 20).astype(np.int8)
+        wi2 = (np.random.default_rng(4).normal(size=(3, 3, cc, cc)) * 20).astype(np.int8)
+        xi2, wi2 = jnp.asarray(xi2), jnp.asarray(wi2)
+        sa2, sw2 = jnp.ones((B,), jnp.float32), jnp.ones((cc,), jnp.float32)
+        fl2 = 2 * B * hh * hh * cc * cc * 9 * n
+
+        def conv_pallas_int8_l(x, w, _sa=sa2, _sw=sw2, _n=n):
+            def body(xc, _):
+                o = conv3x3_int8(xc, _sa, w, _sw, None, out_dtype=jnp.float32)
+                return xc + (jnp.round(o).astype(jnp.int32) & 1).astype(jnp.int8), None
+            return jnp.sum(jax.lax.scan(body, x, jnp.arange(_n))[0].astype(jnp.int32))
+
+        xb2 = jax.random.normal(jax.random.PRNGKey(7), (B, hh, hh, cc), jnp.bfloat16)
+        wb2 = jax.random.normal(jax.random.PRNGKey(8), (3, 3, cc, cc), jnp.bfloat16)
+        dn2 = jax.lax.conv_dimension_numbers(xb2.shape, wb2.shape, ("NHWC", "HWIO", "NHWC"))
+
+        def conv_bf16_l(x, w, _dn=dn2, _n=n):
+            def body(xc, _):
+                o = jax.lax.conv_general_dilated(xc, w, (1, 1), "SAME",
+                                                 dimension_numbers=_dn)
+                return (xc + 1e-6 * o).astype(xc.dtype), None
+            return jnp.sum(jax.lax.scan(body, x, jnp.arange(_n))[0].astype(jnp.float32))
+
+        timed(conv_bf16_l, (xb2, wb2), f"conv3x3 {hh}^2 {cc}ch bf16", fl2, n)
+        timed(conv_pallas_int8_l, (xi2, wi2), f"conv3x3 {hh}^2 {cc}ch PALLAS int8", fl2, n)
+
     # --- GEGLU FF dot: (B*N, 320) @ (320, 2560) --------------------------
     M, K, N2 = B * H * W, C, 2560
     a = jax.random.normal(jax.random.PRNGKey(2), (M, K), jnp.bfloat16)
