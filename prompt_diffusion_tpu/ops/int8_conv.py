@@ -72,29 +72,29 @@ def _conv_kernel(x_ref, w_ref, sw_ref, sa_ref, b_ref, o_ref):
     o_ref[0] = out.reshape(h, w, -1).astype(o_ref.dtype)
 
 
-def _pick_blocks(h, w, cin, cout, budget=_VMEM_BUDGET):
+def _pick_blocks(h, w, cin, cout):
     """(row block, Cout block) fitting the VMEM budget, or None.
 
     Cout blocks must be multiples of 128 (TPU lane tiling) or the full
-    Cout; row blocks must divide H.
+    Cout; row blocks must divide H. Starts from the largest row block
+    whose x slab is within the target and walks both block sizes down
+    until the working set fits the budget.
     """
-    # largest divisor of h whose x block is within the target
-    hb = h
-    for cand in range(h, 0, -1):
-        if h % cand:
-            continue
-        hb = cand
-        if (cand + 2) * w * 3 * cin <= _X_BLOCK_TARGET:
-            break
-    x_bytes = (hb + 2) * w * 3 * cin  # int8
-    cands = [cout] + [c for c in range(cout - cout % 128, 127, -128)
-                      if cout % c == 0]
-    for cb in cands:
-        w_bytes = 3 * 3 * cin * cb       # int8
-        acc_bytes = hb * w * cb * 4      # int32 (+ f32 epilogue live range)
-        out_bytes = hb * w * cb * 2
-        if x_bytes + w_bytes + 2 * acc_bytes + out_bytes <= budget:
-            return hb, cb
+    hbs = [c for c in range(h, 0, -1) if h % c == 0]
+    # prefer the largest hb within the x-slab target; fall back to
+    # progressively smaller ones if the budget check fails below
+    start = next((i for i, c in enumerate(hbs)
+                  if (c + 2) * w * 3 * cin <= _X_BLOCK_TARGET), len(hbs) - 1)
+    cbs = [cout] + [c for c in range(cout - cout % 128, 127, -128)
+                    if cout % c == 0]
+    for hb in hbs[start:]:
+        x_bytes = (hb + 2) * w * 3 * cin  # int8
+        for cb in cbs:
+            w_bytes = 3 * 3 * cin * cb       # int8
+            acc_bytes = hb * w * cb * 4      # int32 (+ f32 epilogue live range)
+            out_bytes = hb * w * cb * 2
+            if x_bytes + w_bytes + 2 * acc_bytes + out_bytes <= _VMEM_BUDGET:
+                return hb, cb
     return None
 
 
