@@ -58,7 +58,8 @@ def bench_sd15(args):
     if args.int8:
         from prompt_diffusion_tpu.utils.dtypes import int8_policy
 
-        pipe = PromptDiffusionSD15.create(policy=int8_policy())
+        pipe = PromptDiffusionSD15.create(policy=int8_policy(),
+                                          vae_int8=args.int8_vae)
     else:
         pipe = PromptDiffusionSD15.create()
     rng = jax.random.PRNGKey(0)
@@ -124,7 +125,8 @@ def bench_sd3(args):
     if args.int8:
         from prompt_diffusion_tpu.utils.dtypes import int8_policy
 
-        pipe = PromptDiffusionSD3.create(policy=int8_policy())
+        pipe = PromptDiffusionSD3.create(policy=int8_policy(),
+                                         vae_int8=args.int8_vae)
     else:
         pipe = PromptDiffusionSD3.create()  # drop_t5 mode (zero-padded T5 slots)
     log("initializing SD3 params (jitted init, bf16 weights)...")
@@ -327,6 +329,10 @@ def main():
                          "recorded serving mode — quality-validated on-chip "
                          "(FID drift 45-67x below the sampling-split floor, "
                          "docs/ROADMAP.md). --no-int8 for exact-bf16 numerics.")
+    ap.add_argument("--int8-vae", action="store_true",
+                    help="with --int8: also quantize the VAE's interior "
+                         "convs (once-per-generate decode wall-clock lever; "
+                         "quality evidence pending — not the default)")
     args = ap.parse_args()
     if args.int8 is None:
         args.int8 = args.config in ("sd15", "sd3")

@@ -7,6 +7,13 @@ single-head spatial attention at the bottleneck, z=4 with double_z moments.
 
 Latents scale by 0.18215 (ddpm.py:655-662) — handled by the pipeline, not
 here, to mirror the reference split of responsibilities.
+
+int8 serving: constructing with `policy=int8_policy()` routes the interior
+3×3/1×1 convs through QuantConv (ops/quant.py → Pallas int8 conv). The
+pixel/latent boundary convs (conv_in on pixels, encoder conv_out, decoder
+conv_out) stay bf16 for exact I/O numerics. Default policy keeps the whole
+VAE bf16 — it is off the denoise hot loop, so this is a wall-clock lever
+for the once-per-generate decode only.
 """
 
 from __future__ import annotations
@@ -47,12 +54,13 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
+        pol = self.policy
         h = GroupNorm32(eps=1e-6, apply_silu=True, name="norm1")(x)
-        h = conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="conv1")(h)
+        h = conv3x3(self.out_channels, dtype=pol.compute_dtype, policy=pol, name="conv1")(h)
         h = GroupNorm32(eps=1e-6, apply_silu=True, name="norm2")(h)
-        h = conv3x3(self.out_channels, dtype=self.policy.compute_dtype, name="conv2")(h)
+        h = conv3x3(self.out_channels, dtype=pol.compute_dtype, policy=pol, name="conv2")(h)
         if in_ch != self.out_channels:
-            x = conv1x1(self.out_channels, dtype=self.policy.compute_dtype, name="nin_shortcut")(x)
+            x = conv1x1(self.out_channels, dtype=pol.compute_dtype, policy=pol, name="nin_shortcut")(x)
         return x + h
 
 
@@ -65,12 +73,13 @@ class VAEAttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         hn = GroupNorm32(eps=1e-6, name="norm")(x)
-        q = conv1x1(c, dtype=self.policy.compute_dtype, name="q")(hn).reshape(b, h * w, 1, c)
-        k = conv1x1(c, dtype=self.policy.compute_dtype, name="k")(hn).reshape(b, h * w, 1, c)
-        v = conv1x1(c, dtype=self.policy.compute_dtype, name="v")(hn).reshape(b, h * w, 1, c)
-        out = dot_product_attention(q, k, v, softmax_dtype=self.policy.softmax_dtype)
+        pol = self.policy
+        q = conv1x1(c, dtype=pol.compute_dtype, policy=pol, name="q")(hn).reshape(b, h * w, 1, c)
+        k = conv1x1(c, dtype=pol.compute_dtype, policy=pol, name="k")(hn).reshape(b, h * w, 1, c)
+        v = conv1x1(c, dtype=pol.compute_dtype, policy=pol, name="v")(hn).reshape(b, h * w, 1, c)
+        out = dot_product_attention(q, k, v, softmax_dtype=pol.softmax_dtype)
         out = out.reshape(b, h, w, c)
-        out = conv1x1(c, dtype=self.policy.compute_dtype, name="proj_out")(out)
+        out = conv1x1(c, dtype=pol.compute_dtype, policy=pol, name="proj_out")(out)
         return x + out
 
 
@@ -82,6 +91,7 @@ class VAEEncoder(nn.Module):
     def __call__(self, x):
         cfg, pol = self.config, self.policy
         x = x.astype(pol.compute_dtype)
+        # conv_in consumes raw pixels (3ch) — negligible FLOPs, stays bf16
         h = conv3x3(cfg.ch, dtype=pol.compute_dtype, name="conv_in")(x)
         for level, mult in enumerate(cfg.ch_mult):
             out_ch = cfg.ch * mult
@@ -100,6 +110,7 @@ class VAEEncoder(nn.Module):
         h = VAEResnetBlock(h.shape[-1], pol, name="mid_block_2")(h)
         h = GroupNorm32(eps=1e-6, apply_silu=True, name="norm_out")(h)
         out_c = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+        # conv_out emits the z moments — keep exact bf16 numerics
         return conv3x3(out_c, dtype=pol.compute_dtype, name="conv_out")(h)
 
 
@@ -112,7 +123,7 @@ class VAEDecoder(nn.Module):
         cfg, pol = self.config, self.policy
         z = z.astype(pol.compute_dtype)
         block_in = cfg.ch * cfg.ch_mult[-1]
-        h = conv3x3(block_in, dtype=pol.compute_dtype, name="conv_in")(z)
+        h = conv3x3(block_in, dtype=pol.compute_dtype, policy=pol, name="conv_in")(z)
         h = VAEResnetBlock(block_in, pol, name="mid_block_1")(h)
         h = VAEAttnBlock(pol, name="mid_attn_1")(h)
         h = VAEResnetBlock(block_in, pol, name="mid_block_2")(h)
@@ -123,8 +134,10 @@ class VAEDecoder(nn.Module):
             if level != 0:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
-                h = conv3x3(c, dtype=pol.compute_dtype, name=f"up_{level}_upsample")(h)
+                h = conv3x3(c, dtype=pol.compute_dtype, policy=pol,
+                            name=f"up_{level}_upsample")(h)
         h = GroupNorm32(eps=1e-6, apply_silu=True, name="norm_out")(h)
+        # conv_out writes pixels — keep exact bf16 numerics at the output
         return conv3x3(cfg.out_channels, dtype=pol.compute_dtype, name="conv_out")(h)
 
 

@@ -46,13 +46,19 @@ class PromptDiffusionSD15:
 
     @classmethod
     def create(cls, unet=None, controlnet=None, vae=None, text_encoder=None, schedule=None,
-               policy=None):
+               policy=None, vae_int8: bool = False):
         """`policy=` overrides the UNet/ControlNet dtype policy (e.g.
         `int8_policy()` for the quantized serving mode); VAE and CLIP keep
-        their bf16/fp32 defaults — they are not on the denoise hot loop."""
+        their bf16/fp32 defaults — they are not on the denoise hot loop.
+        `vae_int8=True` additionally quantizes the VAE's interior convs
+        (the once-per-generate decode; boundary convs stay bf16)."""
         if policy is not None:
             unet = unet or UNetSD15(policy=policy)
             controlnet = controlnet or ControlNetSD15(policy=policy)
+        if vae_int8:
+            from prompt_diffusion_tpu.utils.dtypes import int8_policy
+
+            vae = vae or AutoencoderKL(policy=int8_policy())
         return cls(
             unet=unet or UNetSD15(),
             controlnet=controlnet or ControlNetSD15(),

@@ -53,10 +53,13 @@ class PromptDiffusionSD3:
 
     @classmethod
     def create(cls, transformer=None, controlnet=None, vae=None,
-               clip_l=None, clip_g=None, t5=None, policy=None):
+               clip_l=None, clip_g=None, t5=None, policy=None,
+               vae_int8: bool = False):
         """`policy=` overrides the transformer/controlnet dtype policy (e.g.
         `int8_policy()` — W8A8 on the JointBlock projections/FFs, where SD3's
-        arithmetic intensity makes int8 pay; VAE/text encoders keep defaults)."""
+        arithmetic intensity makes int8 pay; VAE/text encoders keep defaults).
+        `vae_int8=True` additionally quantizes the VAE's interior convs
+        (the 1024² decode + support-pair encode; boundary convs stay bf16)."""
         from prompt_diffusion_tpu.models.clip_text import CLIPTextConfig
         from prompt_diffusion_tpu.models.mmdit_sd3 import MMDiTConfig
         from prompt_diffusion_tpu.models.vae import VAEConfig
@@ -65,6 +68,10 @@ class PromptDiffusionSD3:
             transformer = transformer or SD3Transformer(policy=policy)
             controlnet = controlnet or SD3ControlNet(policy=policy)
         sd3_vae = VAEConfig(z_channels=16, scale_factor=1.5305, shift_factor=0.0609)
+        if vae_int8:
+            from prompt_diffusion_tpu.utils.dtypes import int8_policy
+
+            vae = vae or AutoencoderKL(config=sd3_vae, policy=int8_policy())
         return cls(
             transformer=transformer or SD3Transformer(),
             controlnet=controlnet or SD3ControlNet(),

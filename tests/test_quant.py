@@ -217,3 +217,26 @@ def test_int8_pipeline_image_distribution():
     assert float(np.median(ssims)) > 0.85, ssims
     assert float(ssims.min()) > 0.7, ssims
     assert float(np.median(rels)) < 0.15, rels
+
+
+def test_int8_vae_decode_close_and_tree_identical():
+    """VAE with int8 policy: interior convs quantize (QuantConv param tree
+    == nn.Conv), boundary convs stay bf16; decode stays close to the bf16
+    decode on a tiny config."""
+    from prompt_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    vae_bf16 = AutoencoderKL(config=cfg)
+    vae_int8 = AutoencoderKL(config=cfg, policy=int8_policy())
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4), jnp.float32)
+    p_bf16 = vae_bf16.init(jax.random.PRNGKey(1), z, method=AutoencoderKL.decode)
+    p_int8 = vae_int8.init(jax.random.PRNGKey(1), z, method=AutoencoderKL.decode)
+    assert jax.tree_util.tree_structure(p_bf16) == jax.tree_util.tree_structure(p_int8)
+    for a, b in zip(jax.tree_util.tree_leaves(p_bf16), jax.tree_util.tree_leaves(p_int8)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    out_b = vae_bf16.apply(p_bf16, z, method=AutoencoderKL.decode)
+    out_i = vae_int8.apply(p_bf16, z, method=AutoencoderKL.decode)
+    assert out_i.dtype == out_b.dtype
+    err = _rel_err(np.asarray(out_i, np.float32), np.asarray(out_b, np.float32))
+    assert err < 0.15, err
