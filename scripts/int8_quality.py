@@ -72,11 +72,12 @@ def ssim(a, b):
     return np.asarray(out)
 
 
-def build_sd15(int8: bool, size: int):
+def build_sd15(int8: bool, size: int, vae_int8: bool = False):
     from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
     from prompt_diffusion_tpu.utils.dtypes import int8_policy
 
-    pipe = PromptDiffusionSD15.create(policy=int8_policy() if int8 else None)
+    pipe = PromptDiffusionSD15.create(policy=int8_policy() if int8 else None,
+                                      vae_int8=int8 and vae_int8)
     return pipe
 
 
@@ -129,11 +130,12 @@ def eps_relerr_sd15(pipe_bf, pipe_i8, params, size):
     return errs
 
 
-def build_sd3(int8: bool):
+def build_sd3(int8: bool, vae_int8: bool = False):
     from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd3 import PromptDiffusionSD3
     from prompt_diffusion_tpu.utils.dtypes import int8_policy
 
-    return PromptDiffusionSD3.create(policy=int8_policy() if int8 else None)
+    return PromptDiffusionSD3.create(policy=int8_policy() if int8 else None,
+                                     vae_int8=int8 and vae_int8)
 
 
 def gen_sd3(pipe, params, n, batch, size, steps, tag):
@@ -173,6 +175,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--vae-int8", action="store_true",
+                    help="int8 pipeline also quantizes the VAE interior convs")
     args = ap.parse_args()
     size = args.size or (512 if args.stack == "sd15" else 1024)
     steps = args.steps or (50 if args.stack == "sd15" else 28)
@@ -181,7 +185,7 @@ def main():
 
     if args.stack == "sd15":
         pipe_bf = build_sd15(False, size)
-        pipe_i8 = build_sd15(True, size)
+        pipe_i8 = build_sd15(True, size, vae_int8=args.vae_int8)
         log("init params...")
         params = jax.jit(lambda r: pipe_bf.init_params(r, image_size=size))(
             jax.random.PRNGKey(0))
@@ -193,7 +197,7 @@ def main():
         imgs_i8 = gen_sd15(pipe_i8, params, args.n, args.batch, size, steps, "int8")
     else:
         pipe_bf = build_sd3(False)
-        pipe_i8 = build_sd3(True)
+        pipe_i8 = build_sd3(True, vae_int8=args.vae_int8)
         log("init SD3 params (bf16 weights)...")
         params = jax.jit(lambda r: cast_params_bf16(
             pipe_bf.init_params(r, image_size=size, batch=1)))(jax.random.PRNGKey(0))
