@@ -55,9 +55,12 @@ class VAEResnetBlock(nn.Module):
     def __call__(self, x):
         in_ch = x.shape[-1]
         pol = self.policy
-        h = GroupNorm32(eps=1e-6, apply_silu=True, name="norm1")(x)
+        q8 = pol.quant == "int8"
+        # int8 mode: the GN kernel's fused epilogue emits (int8, scale)
+        # straight into the QuantConv — same pattern as the UNet ResBlock
+        h = GroupNorm32(eps=1e-6, apply_silu=True, quant_out=q8, name="norm1")(x)
         h = conv3x3(self.out_channels, dtype=pol.compute_dtype, policy=pol, name="conv1")(h)
-        h = GroupNorm32(eps=1e-6, apply_silu=True, name="norm2")(h)
+        h = GroupNorm32(eps=1e-6, apply_silu=True, quant_out=q8, name="norm2")(h)
         h = conv3x3(self.out_channels, dtype=pol.compute_dtype, policy=pol, name="conv2")(h)
         if in_ch != self.out_channels:
             x = conv1x1(self.out_channels, dtype=pol.compute_dtype, policy=pol, name="nin_shortcut")(x)
@@ -72,8 +75,9 @@ class VAEAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hn = GroupNorm32(eps=1e-6, name="norm")(x)
         pol = self.policy
+        # int8 mode: quantize the GN output ONCE for all three q/k/v convs
+        hn = GroupNorm32(eps=1e-6, quant_out=pol.quant == "int8", name="norm")(x)
         q = conv1x1(c, dtype=pol.compute_dtype, policy=pol, name="q")(hn).reshape(b, h * w, 1, c)
         k = conv1x1(c, dtype=pol.compute_dtype, policy=pol, name="k")(hn).reshape(b, h * w, 1, c)
         v = conv1x1(c, dtype=pol.compute_dtype, policy=pol, name="v")(hn).reshape(b, h * w, 1, c)
