@@ -285,11 +285,21 @@ class CrossAttention(nn.Module):
             # packed-heads kernel: consumes the projection layout directly,
             # no (B,N,H,D)↔(B,H,N,D) copies. Cross-attention (77-token kv)
             # stays on XLA — measured 3.5% slower through the kernel.
-            # int8 attention measured SLOWER here (0.898 vs 0.9285 img/s
-            # e2e): at D=40 the int8 contraction still pads to the full
-            # MXU tile, so the quant passes buy nothing — the int8
-            # attention kernel is an SD3 (D=64, N=4250) win only.
-            out = flash_attention_packed(q, k, v, self.heads, scale=1.0)
+            # int8 attention (v1 kernel) measured SLOWER here (0.898 vs
+            # 0.9285 img/s e2e): at D=40 the int8 contraction still pads to
+            # the full MXU tile, so the quant passes bought nothing. The v3
+            # kernel (per-head K scalar, bf16 PV) has far less VPU overhead;
+            # PD_SD15_INT8_ATTN=1 re-opts the int8 mode in for measurement.
+            import os
+
+            if quant and os.environ.get("PD_SD15_INT8_ATTN"):
+                from prompt_diffusion_tpu.ops.flash_attention import (
+                    flash_attention_packed_int8,
+                )
+
+                out = flash_attention_packed_int8(q, k, v, self.heads, scale=1.0)
+            else:
+                out = flash_attention_packed(q, k, v, self.heads, scale=1.0)
         else:
             qh = q.reshape(b, nq, self.heads, self.dim_head)
             kh = k.reshape(b, nk, self.heads, self.dim_head)
