@@ -158,9 +158,13 @@ def bench_sd3(args):
 
         t5 = T5Encoder()
         t5_ids = jnp.zeros((2 * b, 256), jnp.int32)
-        log("initializing T5-XXL params (bf16)...")
-        t5_params = jax.jit(lambda r: cast_params_bf16(t5.init(r, t5_ids)))(
-            jax.random.PRNGKey(7))
+        log("initializing T5-XXL params (bf16, eval_shape fast init)...")
+        # fast init: flax init traces the full 4.7B forward (~190 s compile
+        # on one chip); eval_shape + leaf fills produce the same tree in
+        # seconds — this bench runs random weights either way
+        from prompt_diffusion_tpu.utils.dtypes import fast_random_params_bf16
+
+        t5_params = fast_random_params_bf16(t5, jax.random.PRNGKey(7), t5_ids)
         jax.block_until_ready(t5_params)
         log("T5-XXL ready; compiling+running staged encode...")
         enc = jax.jit(t5.apply)

@@ -14,6 +14,7 @@ key rewrite (see tools/torch_import.py).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -23,6 +24,12 @@ import flax.linen as nn
 from prompt_diffusion_tpu.ops.attention import dot_product_attention
 from prompt_diffusion_tpu.ops.norms import group_norm
 from prompt_diffusion_tpu.utils.dtypes import DTypePolicy
+
+# Read ONCE at import: this toggle participates in tracing, and jit caches
+# are keyed on traced structure, not the environment — reading it lazily
+# would let a mid-process flip silently serve stale compiled programs.
+# Flipping PD_SD15_INT8_ATTN requires a fresh process (measurement-only).
+_SD15_INT8_ATTN = bool(os.environ.get("PD_SD15_INT8_ATTN"))
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
@@ -289,10 +296,9 @@ class CrossAttention(nn.Module):
             # 0.9285 img/s e2e): at D=40 the int8 contraction still pads to
             # the full MXU tile, so the quant passes bought nothing. The v3
             # kernel (per-head K scalar, bf16 PV) has far less VPU overhead;
-            # PD_SD15_INT8_ATTN=1 re-opts the int8 mode in for measurement.
-            import os
-
-            if quant and os.environ.get("PD_SD15_INT8_ATTN"):
+            # PD_SD15_INT8_ATTN=1 re-opts the int8 mode in for measurement
+            # (read at import time — see _SD15_INT8_ATTN above).
+            if quant and _SD15_INT8_ATTN:
                 from prompt_diffusion_tpu.ops.flash_attention import (
                     flash_attention_packed_int8,
                 )

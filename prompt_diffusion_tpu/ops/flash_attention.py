@@ -369,13 +369,6 @@ def _fa_packed_fullk_int8_kernel(q_ref, k_ref, skh_ref, v_ref, o_ref, *,
         o_ref[0, :, h * d : (h + 1) * d] = (o / l).astype(o_ref.dtype)
 
 
-def _quant_rows(x):
-    """(B, N, C) → int8 + per-(B,N) scales (contraction over C)."""
-    xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8)
-    return jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8), s
-
-
 def flash_attention_packed_int8(q, k, v, num_heads: int,
                                 scale: Optional[float] = None):
     """int8-QKᵀ attention over packed (B, N, H·D) tensors (serving mode).

@@ -61,13 +61,22 @@ def _adaln_quant_kernel(x_ref, s_ref, t_ref, oq_ref, os_ref, *, eps):
     os_ref[0] = s_a  # (rb, 1)
 
 
-def _row_block(n, c, itemsize, budget=2 * 1024 * 1024):
-    rb = max(8, min(n, budget // (c * itemsize)) // 8 * 8)
-    while n % rb:
-        rb -= 8
-        if rb < 8:
-            return 0
-    return rb
+# Blocking: rows are padded up to a multiple of 8 (SD3's context stream is
+# N=154 or 333 — no multiple-of-8 divisor exists unpadded, and falling back
+# to the jnp path there would reintroduce the amax pass + HBM round-trip
+# this kernel exists to kill), then blocked with the shared picker.
+from prompt_diffusion_tpu.ops.fused_layer_norm import row_block8
+
+# Test hook: when True, the Pallas path runs in interpret mode even on CPU
+# (exercises the row-padding/grid logic without a TPU).
+_FORCE_INTERPRET = False
+
+
+def _pad_rows(x, n):
+    n_pad = (-n) % 8
+    if n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+    return x, n + n_pad
 
 
 def _prep(x, scale, shift):
@@ -91,13 +100,14 @@ def fused_adaln(x, scale, shift, eps: float = 1e-6):
 
 def _forward(x, scale, shift, eps):
     b, n, c, s2, t2 = _prep(x, scale, shift)
-    rb = _row_block(n, c, x.dtype.itemsize)
-    if jax.default_backend() == "cpu" or rb == 0:
+    if jax.default_backend() == "cpu" and not _FORCE_INTERPRET:
         return _jnp_adaln(x, scale.reshape(b, 1, c), shift.reshape(b, 1, c), eps).astype(x.dtype)
+    xp, np8 = _pad_rows(x, n)
+    rb = row_block8(np8, c, x.dtype.itemsize)
     out = pl.pallas_call(
         functools.partial(_adaln_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
-        grid=(b, n // rb),
+        out_shape=jax.ShapeDtypeStruct((b, np8, c), x.dtype),
+        grid=(b, np8 // rb),
         in_specs=[
             pl.BlockSpec((1, rb, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
@@ -105,8 +115,9 @@ def _forward(x, scale, shift, eps):
         ],
         out_specs=pl.BlockSpec((1, rb, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(x, s2, t2)
-    return out
+        interpret=_FORCE_INTERPRET,
+    )(xp, s2, t2)
+    return out[:, :n] if np8 != n else out
 
 
 def _fwd(x, scale, shift, eps):
@@ -130,19 +141,20 @@ def fused_adaln_quant(x, scale, shift, eps: float = 1e-6):
     """→ (int8 (B,N,C), fp32 row scales (B,N,1)) for tuple-aware
     QuantDense. Inference-only."""
     b, n, c, s2, t2 = _prep(x, scale, shift)
-    rb = _row_block(n, c, x.dtype.itemsize)
-    if jax.default_backend() == "cpu" or rb == 0:
+    if jax.default_backend() == "cpu" and not _FORCE_INTERPRET:
         h = _jnp_adaln(x, scale.reshape(b, 1, c), shift.reshape(b, 1, c), eps)
         s_a = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
         oq = jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8)
         return oq, s_a
+    xp, np8 = _pad_rows(x, n)
+    rb = row_block8(np8, c, x.dtype.itemsize)
     oq, s_a = pl.pallas_call(
         functools.partial(_adaln_quant_kernel, eps=eps),
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, c), jnp.int8),
-            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, np8, c), jnp.int8),
+            jax.ShapeDtypeStruct((b, np8, 1), jnp.float32),
         ],
-        grid=(b, n // rb),
+        grid=(b, np8 // rb),
         in_specs=[
             pl.BlockSpec((1, rb, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
@@ -153,5 +165,8 @@ def fused_adaln_quant(x, scale, shift, eps: float = 1e-6):
             pl.BlockSpec((1, rb, 1), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(x, s2, t2)
+        interpret=_FORCE_INTERPRET,
+    )(xp, s2, t2)
+    if np8 != n:
+        oq, s_a = oq[:, :n], s_a[:, :n]
     return oq, s_a

@@ -51,6 +51,22 @@ def _row_block(n, c, itemsize, budget=2 * 1024 * 1024):
     return rb
 
 
+def row_block8(n, c, itemsize, budget=2 * 1024 * 1024):
+    """Largest multiple-of-8 row block dividing n (requires n % 8 == 0).
+
+    The (rb, 1) scale-output tiles of the quant kernels need rb % 8 == 0,
+    so callers pad their row count up to a multiple of 8 first; stepping
+    DOWN in multiples of 8 then always terminates at a valid block.
+    Shared by fused_layer_norm_quant and ops/fused_adaln (keep the two
+    kernels' blocking in lockstep)."""
+    if n % 8:
+        raise ValueError(f"row_block8 needs n % 8 == 0, got {n}")
+    rb = max(8, min(n, budget // (c * itemsize)) // 8 * 8)
+    while n % rb:
+        rb -= 8
+    return rb
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_layer_norm(x, scale, bias, eps: float = 1e-5):
     """x (..., N, C) → LayerNorm over the last axis."""
@@ -133,9 +149,7 @@ def fused_layer_norm_quant(x, scale, bias, eps: float = 1e-5):
     if n_pad:
         x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
     np8 = n + n_pad
-    rb = max(8, _row_block(np8, c, x.dtype.itemsize) // 8 * 8)
-    while np8 % rb:
-        rb -= 8
+    rb = row_block8(np8, c, x.dtype.itemsize)
     oq, s_a = pl.pallas_call(
         functools.partial(_ln_quant_kernel, eps=eps),
         out_shape=[

@@ -76,10 +76,11 @@ class PromptDiffusionSD15:
     @classmethod
     def from_single_file(cls, path: str, **import_kwargs):
         """(pipe, params) from a reference-format `.ckpt`/`.safetensors`
-        (FromSingleFileMixin counterpart)."""
-        from prompt_diffusion_tpu.tools.torch_import import import_ldm_checkpoint
+        (FromSingleFileMixin counterpart). Delegates to
+        tools.loaders.from_single_file — single source of truth."""
+        from prompt_diffusion_tpu.tools.loaders import from_single_file
 
-        return cls.create(), import_ldm_checkpoint(path, **import_kwargs)
+        return from_single_file(path, **import_kwargs)
 
     def load_lora_weights(self, params, path_or_sd, scale: float = 1.0) -> dict:
         """New param dict with a diffusers-format LoRA folded in

@@ -117,33 +117,48 @@ class GenerationServer:
         self._queue: "queue.Queue" = queue.Queue(self.config.queue_size)
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # serializes submit() against stop()'s queue drain: without it a
+        # concurrently submitted request can land in the consumerless queue
+        # AFTER the drain and its fut.result() would hang forever
+        self._lifecycle = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "padded_slots": 0}
 
     # ---- lifecycle --------------------------------------------------------
 
     def start(self):
-        if self._worker is not None:
-            return self
-        self._stop.clear()
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        with self._lifecycle:
+            if self._worker is not None:
+                return self
+            self._stop.clear()
+            self._worker = threading.Thread(target=self._run, daemon=True)
+            self._worker.start()
         return self
 
     def stop(self, timeout: float = 30.0):
         self._stop.set()
-        if self._worker is not None:
-            self._worker.join(timeout)
-            self._worker = None
-        # the worker fails its own pending dict on exit; anything that
-        # raced into the queue after that is failed here so no
-        # fut.result() ever hangs past shutdown
-        while True:
-            try:
-                _, fut = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if not fut.done():
-                fut.set_exception(ServerStopped("server stopped"))
+        worker = self._worker
+        if worker is not None:
+            worker.join(timeout)
+        with self._lifecycle:
+            if worker is not None and worker.is_alive():
+                # join timed out (e.g. a minutes-long cold compile): keep
+                # the handle so a later start() cannot spawn a duplicate
+                # worker; the zombie exits after its current batch and
+                # fails its own pending map (stop flag stays set)
+                pass
+            else:
+                self._worker = None
+            # the worker fails its own pending dict on exit; anything that
+            # raced into the queue after that is failed here so no
+            # fut.result() ever hangs past shutdown (submit() serializes
+            # against this drain via the same lock)
+            while True:
+                try:
+                    _, fut = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not fut.done():
+                    fut.set_exception(ServerStopped("server stopped"))
 
     def __enter__(self):
         return self.start()
@@ -155,7 +170,17 @@ class GenerationServer:
 
     def submit(self, req: GenerationRequest) -> Future:
         fut: Future = Future()
-        self._queue.put((req, fut))
+        with self._lifecycle:
+            # bounded-queue backpressure, but re-check the stop flag each
+            # wait slice: stop() sets the flag BEFORE taking this lock, so
+            # a full queue with no consumer cannot deadlock shutdown
+            while not self._stop.is_set():
+                try:
+                    self._queue.put((req, fut), timeout=0.1)
+                    return fut
+                except queue.Full:
+                    continue
+            fut.set_exception(ServerStopped("server stopped"))
         return fut
 
     def generate(self, req: GenerationRequest, timeout: Optional[float] = None):

@@ -72,3 +72,43 @@ def cast_params_bf16(params, keep_fp32_names=("scale", "bias")):
         return x.astype(jnp.bfloat16)
 
     return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def fast_random_params_bf16(module, rng, *init_args, kernel_std=0.02,
+                            keep_fp32_names=("scale", "bias")):
+    """Random bf16 parameter tree WITHOUT tracing the module's forward.
+
+    flax `init` executes the full forward pass to infer shapes; jitting it
+    for T5-XXL compiles a 4.7B-param program (~190 s measured on one chip)
+    just to produce weights a benchmark immediately overwrites with random
+    values anyway. Here shapes come from `jax.eval_shape` (free) and leaves
+    are filled by one small jitted program: ndim>=2 leaves get
+    N(0, kernel_std), "bias"-named leaves get zeros, other 1-D leaves
+    (norm scales) get ones — so activation magnitudes stay sane. Dtype rule
+    matches `cast_params_bf16` (norm affines fp32, everything else bf16).
+    Benchmark / serving-lab use ONLY: values are neither trained nor
+    reference-initialized."""
+    import jax
+
+    shapes = jax.eval_shape(lambda r: module.init(r, *init_args), rng)
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def fill(key):
+        keys = jax.random.split(key, len(paths_leaves))
+        out = []
+        for k, (path, leaf) in zip(keys, paths_leaves):
+            name = getattr(path[-1], "key", "") if path else ""
+            if not jnp.issubdtype(leaf.dtype, jnp.floating):
+                out.append(jnp.zeros(leaf.shape, leaf.dtype))
+                continue
+            dt = jnp.float32 if name in keep_fp32_names else jnp.bfloat16
+            if len(leaf.shape) >= 2:
+                out.append(jax.random.normal(k, leaf.shape, dt)
+                           * jnp.asarray(kernel_std, dt))
+            elif name == "bias":
+                out.append(jnp.zeros(leaf.shape, dt))
+            else:
+                out.append(jnp.ones(leaf.shape, dt))
+        return out
+
+    return jax.tree_util.tree_unflatten(treedef, jax.jit(fill)(rng))

@@ -100,6 +100,30 @@ def test_adaln_quant_kernel_interpret():
     np.testing.assert_allclose(np.asarray(sa), np.asarray(ref_s), rtol=1e-6)
 
 
+@pytest.mark.parametrize("n", [154, 333])  # SD3 context lengths: 77+77 drop-T5, 77+256 with T5
+def test_fused_adaln_pallas_path_pads_odd_row_counts(n, monkeypatch):
+    """The kernel path must handle N with no multiple-of-8 divisor by row
+    padding (a jnp fallback here would reintroduce the HBM round-trip on
+    the SD3 context stream the kernel exists to kill)."""
+    import prompt_diffusion_tpu.ops.fused_adaln as fa
+
+    monkeypatch.setattr(fa, "_FORCE_INTERPRET", True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, n, 128)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(2, 1, 128)) * 0.2, jnp.float32)
+    t = jnp.asarray(rng.normal(size=(2, 1, 128)) * 0.2, jnp.float32)
+    out = fused_adaln(x, s, t)
+    assert out.shape == (2, n, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, s, t)),
+                               atol=1e-5, rtol=1e-5)
+    oq, sa = fused_adaln_quant(x, s, t)
+    assert oq.shape == (2, n, 128) and sa.shape == (2, n, 1)
+    monkeypatch.setattr(fa, "_FORCE_INTERPRET", False)
+    ref_q, ref_s = fused_adaln_quant(x, s, t)  # cpu jnp path
+    np.testing.assert_array_equal(np.asarray(oq), np.asarray(ref_q))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(ref_s), rtol=1e-6)
+
+
 def test_fused_adaln_grad_matches_reference():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.normal(size=(1, 8, 32)), jnp.float32)

@@ -56,3 +56,33 @@ def test_step_timer():
     stats = t.stats()
     assert stats["steps"] == 3  # first skipped
     assert stats["p50_ms"] == pytest.approx(30.0, rel=0.01)
+
+
+def test_fast_random_params_matches_init_tree():
+    """eval_shape-based fast init must produce the exact tree structure,
+    shapes, and dtype rule of jit(cast_params_bf16(module.init)) — it is a
+    drop-in for the bench's T5-XXL init (which otherwise compiles the full
+    forward pass just to make random weights)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from prompt_diffusion_tpu.models.t5_text import T5Config, T5Encoder
+    from prompt_diffusion_tpu.utils.dtypes import (
+        cast_params_bf16,
+        fast_random_params_bf16,
+    )
+
+    cfg = T5Config(vocab_size=64, d_model=32, num_layers=2, num_heads=4,
+                   d_ff=48, d_kv=8)
+    t5 = T5Encoder(config=cfg)
+    ids = jnp.zeros((2, 16), jnp.int32)
+    ref = cast_params_bf16(t5.init(jax.random.PRNGKey(0), ids))
+    fast = fast_random_params_bf16(t5, jax.random.PRNGKey(0), ids)
+    ref_l, ref_td = jax.tree_util.tree_flatten(ref)
+    fast_l, fast_td = jax.tree_util.tree_flatten(fast)
+    assert ref_td == fast_td
+    for r, f in zip(ref_l, fast_l):
+        assert r.shape == f.shape and r.dtype == f.dtype
+    # the filled tree must run the encoder to finite outputs
+    out = t5.apply(fast, ids)
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -131,3 +131,30 @@ def test_sd3_adapter_serves_requests(sd3):
     assert a.shape == (res, res, 3) and b.shape == (res, res, 3)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert not np.array_equal(a, b)
+
+
+def test_submit_after_stop_fails_fast(tiny_pipeline):  # noqa: F811
+    """A submit that races (or follows) stop() must resolve with
+    ServerStopped instead of hanging on a consumerless queue."""
+    from prompt_diffusion_tpu.serving.server import ServerStopped
+
+    pipe, params = tiny_pipeline
+    srv = GenerationServer(pipe, params, ServerConfig(max_batch=2, flush_ms=5.0))
+    srv.start()
+    srv.stop()
+    fut = srv.submit(_req(seed=0))
+    with pytest.raises(ServerStopped):
+        fut.result(timeout=10)
+
+
+def test_stop_drains_queued_futures(tiny_pipeline):  # noqa: F811
+    """Futures still queued at shutdown are failed, never left pending."""
+    from prompt_diffusion_tpu.serving.server import ServerStopped
+
+    pipe, params = tiny_pipeline
+    srv = GenerationServer(pipe, params, ServerConfig(max_batch=2, flush_ms=5.0))
+    # never started: queue has no consumer; stop() must fail the future
+    fut = srv.submit(_req(seed=1))
+    srv.stop()
+    with pytest.raises(ServerStopped):
+        fut.result(timeout=10)
