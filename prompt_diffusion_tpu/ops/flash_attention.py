@@ -252,19 +252,22 @@ def _flash_packed(q, k, v, num_heads, scale):
     return _packed_forward(q, k, v, num_heads, scale)
 
 
-def _packed_forward(q, k, v, num_heads, scale):
+def _packed_forward(q, k, v, num_heads, scale, block_q_target: int = 256):
+    """block_q_target also sets the Nq pad multiple, so the target is always
+    reachable (default 256 = the shipped config; tools/attn_sd3_probe.py
+    sweeps it at the SD3 joint shape)."""
     b, nq, hd = q.shape
     nk = k.shape[1]
     interpret = jax.default_backend() == "cpu"
     # pad Nq to a block multiple (rows independent; see _flash_forward)
-    nq_pad = (-nq) % 256 if nq >= 256 else 0
+    nq_pad = (-nq) % block_q_target if nq >= block_q_target else 0
     if nq_pad:
         q = jnp.pad(q, ((0, 0), (0, nq_pad), (0, 0)))
     nqp = nq + nq_pad
     # full-K path whenever the per-head (block_q, Nk) fp32 logits row fits
     # VMEM comfortably (always true at PD scales: Nk ≤ 4096)
     if nk <= 8192:
-        block_q = _pick_block(nqp, 256)
+        block_q = _pick_block(nqp, block_q_target)
         kernel = functools.partial(
             _fa_packed_fullk_kernel, scale=scale, num_heads=num_heads
         )
@@ -370,7 +373,8 @@ def _fa_packed_fullk_int8_kernel(q_ref, k_ref, skh_ref, v_ref, o_ref, *,
 
 
 def flash_attention_packed_int8(q, k, v, num_heads: int,
-                                scale: Optional[float] = None):
+                                scale: Optional[float] = None,
+                                block_q_target: int = 256):
     """int8-QKᵀ attention over packed (B, N, H·D) tensors (serving mode).
 
     K: per-head scalar scales (folded into the softmax scale); Q: per-row
@@ -390,11 +394,11 @@ def flash_attention_packed_int8(q, k, v, num_heads: int,
     ki = ki.reshape(b, nk, hd)
     skh = skh[:, None, :]  # (B, 1, H): TPU blocks match the last TWO dims
 
-    nq_pad = (-nq) % 256 if nq >= 256 else 0
+    nq_pad = (-nq) % block_q_target if nq >= block_q_target else 0
     if nq_pad:
         q = jnp.pad(q, ((0, 0), (0, nq_pad), (0, 0)))
     nqp = nq + nq_pad
-    block_q = _pick_block(nqp, 256)
+    block_q = _pick_block(nqp, block_q_target)
     out = pl.pallas_call(
         functools.partial(
             _fa_packed_fullk_int8_kernel, scale=float(scale), num_heads=num_heads),

@@ -53,6 +53,24 @@ def test_packed_kernel_odd_length_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("tgt", [128, 512])
+def test_packed_kernel_block_q_target_sweepable(tgt):
+    """Non-default block_q_target (the attn_sd3_probe sweep knob) must pad
+    to its own multiple and stay numerically identical."""
+    from prompt_diffusion_tpu.ops.flash_attention import _packed_forward
+
+    n = 650  # pads to 768 (tgt=128) / 1024 (tgt=512)
+    q, k, v = _mk(n, seed=2)
+    h, d = 2, 16
+    scale = d ** -0.5
+    ref = _xla_attention(q, k, v, scale).reshape(1, n, h * d)
+    out = _packed_forward(
+        q.reshape(1, n, h * d), k.reshape(1, n, h * d), v.reshape(1, n, h * d),
+        h, scale, tgt)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
 def test_int8_attention_numerics_jnp_model():
     """Model the int8 kernel's math in plain jnp (per-row q/k scales,
     per-column v scales, fp32 softmax, 1/127 prob quant) and bound its

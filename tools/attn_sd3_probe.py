@@ -56,6 +56,8 @@ def timed(name, fn, x0, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep block_q_target for both packed kernels")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     scale = D ** -0.5
@@ -103,6 +105,26 @@ def main():
           lambda x: flash_attention_packed(x, x, x, H, scale), qp, args.iters)
     timed("packed full-K int8",
           lambda x: flash_attention_packed_int8(x, x, x, H, scale), qp, args.iters)
+
+    if args.sweep:
+        # block_q sweep: the target also sets the Nq pad multiple, so each
+        # candidate pads 4250 → its own multiple (128→4352, 256→4352,
+        # 512→4608, 1024→5120 — bigger blocks buy fewer grid steps at the
+        # cost of up to 20% padded rows). Measured 3.71 ms/site bf16 vs a
+        # 3.17 ms padded-MXU floor; this finds whether blocking closes it.
+        from prompt_diffusion_tpu.ops.flash_attention import _packed_forward
+
+        print("\nblock_q sweep (bf16 packed full-K):", flush=True)
+        for tgt in (128, 256, 512, 1024):
+            timed(f"  bf16 block_q_target={tgt}",
+                  lambda x, t=tgt: _packed_forward(x, x, x, H, scale, t),
+                  qp, args.iters)
+        print("block_q sweep (int8 packed full-K):", flush=True)
+        for tgt in (128, 256, 512, 1024):
+            timed(f"  int8 block_q_target={tgt}",
+                  lambda x, t=tgt: flash_attention_packed_int8(
+                      x, x, x, H, scale, block_q_target=t),
+                  qp, args.iters)
 
 
 if __name__ == "__main__":
