@@ -340,8 +340,41 @@ def main():
     args = ap.parse_args()
     if args.int8 is None:
         args.int8 = args.config in ("sd15", "sd3")
+    _check_backend_alive()
     {"sd15": bench_sd15, "sd3": bench_sd3,
      "annotate": bench_annotate, "train": bench_train}[args.config](args)
+
+
+def _check_backend_alive(timeout_s: float = 180.0):
+    """Fail fast (and diagnosably) when the TPU tunnel is down.
+
+    During an outage `jax.devices()` hangs indefinitely (observed hours-
+    long, 2026-08-17) — without this guard a driver-run bench stalls with
+    no output instead of reporting the environment failure. Healthy init
+    is a few seconds; 180 s is far past any observed healthy cold start."""
+    import threading
+
+    done = threading.Event()
+    devs = []
+
+    def probe():
+        import jax
+
+        devs.extend(jax.devices())
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        log(f"FATAL: jax.devices() did not return within {timeout_s:.0f}s "
+            "— TPU tunnel down? (no metric emitted)")
+        sys.stderr.flush()
+        # os._exit: the probe thread is wedged inside backend init and may
+        # hold locks jax's atexit handlers need — a plain sys.exit can hang
+        import os
+
+        os._exit(3)
+    log(f"backend alive: {devs}")
 
 
 if __name__ == "__main__":
