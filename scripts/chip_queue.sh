@@ -1,0 +1,31 @@
+#!/bin/bash
+# Chip-work queue: run the tunnel-blocked round-3 items in priority order.
+# Each step bounded; logs to /tmp/chipq/*.log. Run from /root/repo:
+#   mkdir -p /tmp/chipq && bash scripts/chip_queue.sh
+# (poll the tunnel first: a 120 s-bounded `python -c "import jax; jax.devices()"`
+# hangs while the outage lasts).
+set -x
+cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
+
+# 0. quick sanity: chip visible
+timeout 180 python -c "import jax; print(jax.devices())" || exit 1
+
+# 1. tiny-e2e PNG drive (bf16 + int8 through the public API) ~ fast
+timeout 1200 python scripts/drive_e2e.py > /tmp/chipq/drive_e2e.log 2>&1
+
+# 2. sd3 --with-t5 bench (fast T5 init now; bound generous for 1024^2 compiles)
+timeout 3000 python bench.py --config sd3 --with-t5 > /tmp/chipq/sd3_t5.log 2>&1
+
+# 3. int8 SD3 trace for further levers
+timeout 1800 python tools/trace_sd3.py --int8 > /tmp/chipq/trace_sd3_int8.log 2>&1
+
+# 4. re-confirm headline serving numbers after this session's edits
+timeout 1800 python bench.py --config sd15 > /tmp/chipq/sd15_int8.log 2>&1
+timeout 2400 python bench.py --config sd3 > /tmp/chipq/sd3_int8.log 2>&1
+echo QUEUE_DONE
+# 5. int8 VAE measurement (opt-in flag, landed end of r3, unmeasured)
+timeout 1800 python bench.py --config sd15 --int8-vae > /tmp/chipq/sd15_int8vae.log 2>&1
+timeout 2400 python bench.py --config sd3 --int8-vae > /tmp/chipq/sd3_int8vae.log 2>&1
+# 6. SD3 attention block_q sweep (3.71 ms/site vs 3.17 floor)
+timeout 2400 python tools/attn_sd3_probe.py --sweep > /tmp/chipq/attn_sweep.log 2>&1
