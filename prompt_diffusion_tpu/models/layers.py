@@ -25,11 +25,15 @@ from prompt_diffusion_tpu.ops.attention import dot_product_attention
 from prompt_diffusion_tpu.ops.norms import group_norm
 from prompt_diffusion_tpu.utils.dtypes import DTypePolicy
 
-# Read ONCE at import: this toggle participates in tracing, and jit caches
-# are keyed on traced structure, not the environment — reading it lazily
+# Read ONCE at import: these toggles participate in tracing, and jit caches
+# are keyed on traced structure, not the environment — reading them lazily
 # would let a mid-process flip silently serve stale compiled programs.
-# Flipping PD_SD15_INT8_ATTN requires a fresh process (measurement-only).
+# Flipping either requires a fresh process (measurement-only toggles).
 _SD15_INT8_ATTN = bool(os.environ.get("PD_SD15_INT8_ATTN"))
+# fused GEGLU→int8 epilogue (ops/fused_act.fused_geglu_quant): kills the
+# standalone amax+quant HBM passes over the (B,N,4C) GEGLU output, but the
+# kernel uses lax.erf — OFF until Mosaic-compile-validated on the chip.
+_SD15_FUSED_GEGLU = bool(os.environ.get("PD_SD15_FUSED_GEGLU"))
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
@@ -344,6 +348,10 @@ class GEGLUFeedForward(nn.Module):
             dense = lambda f, name: nn.Dense(
                 f, dtype=self.policy.compute_dtype, param_dtype=jnp.float32, name=name)
         proj = dense(inner * 2, "proj")(x)
+        if self.policy.quant == "int8" and _SD15_FUSED_GEGLU:
+            from prompt_diffusion_tpu.ops.fused_act import fused_geglu_quant
+
+            return dense(dim, "out")(fused_geglu_quant(proj))
         h, gate = jnp.split(proj, 2, axis=-1)
         h = h * jax.nn.gelu(gate, approximate=False)
         return dense(dim, "out")(h)

@@ -229,27 +229,39 @@ class JointBlock(nn.Module):
         attn_h, attn_c = attn[:, :n_h], attn[:, n_h:]
 
         if pol.quant == "int8":
+            from prompt_diffusion_tpu.ops.fused_act import (
+                fused_gelu_quant,
+                fused_quant_rows,
+            )
             from prompt_diffusion_tpu.ops.fused_adaln import fused_adaln_quant
 
             mod2 = lambda x, s, t, name: fused_adaln_quant(x, s, t)
+            # remaining standalone-quant sites get fused epilogues too:
+            # post-GELU (the block's widest activation, (B,N,4C)) and the
+            # attention outputs — one VMEM pass each, per-row scales
+            act = fused_gelu_quant
+            rowq = fused_quant_rows
         else:
             def mod2(x, s, t, name):
                 h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                                  dtype=pol.norm_dtype, name=name)(x).astype(x.dtype)
                 return h * (1 + s) + t
 
-        hidden = hidden + h_gate * dense(dim, "to_out")(attn_h)
+            act = lambda x: jax.nn.gelu(x, approximate=True)
+            rowq = lambda x: x
+
+        hidden = hidden + h_gate * dense(dim, "to_out")(rowq(attn_h))
         hn = mod2(hidden, h_scale_mlp, h_shift_mlp, "norm2")
         ff = dense(dim * 4, "ff_in")(hn)
-        ff = dense(dim, "ff_out")(jax.nn.gelu(ff, approximate=True))
+        ff = dense(dim, "ff_out")(act(ff))
         hidden = hidden + h_gate_mlp * ff
 
         if self.context_pre_only:
             return hidden, None
-        context = context + c_gate * dense(dim, "to_add_out")(attn_c)
+        context = context + c_gate * dense(dim, "to_add_out")(rowq(attn_c))
         cn = mod2(context, c_scale_mlp, c_shift_mlp, "norm2_context")
         cff = dense(dim * 4, "ff_context_in")(cn)
-        cff = dense(dim, "ff_context_out")(jax.nn.gelu(cff, approximate=True))
+        cff = dense(dim, "ff_context_out")(act(cff))
         context = context + c_gate_mlp * cff
         return hidden, context
 

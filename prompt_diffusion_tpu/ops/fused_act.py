@@ -1,0 +1,169 @@
+"""Fused activation→int8 Pallas kernels (serving mode).
+
+After the AdaLN→int8 epilogues (ops/fused_adaln.py), the int8 JointBlock
+still has standalone dynamic-quant sites: the post-GELU input of `ff_out`
+— the block's WIDEST activation, (B, N, 4·1536) ≈ 100 MB bf16 at the SD3
+joint shape — and the attention outputs feeding `to_out`/`to_add_out`.
+XLA lowers QuantDense's dynamic per-tensor quant into an amax reduction
+pass + a round/clip pass over the HBM-resident tensor; these kernels do
+activation + row-max + quantize in ONE VMEM-resident pass (1 read + 1
+int8 write), with per-ROW scales (finer than the per-tensor scalar they
+replace — same trade as fused_layer_norm_quant).
+
+  fused_gelu_quant(x)  → (int8, (..., 1) fp32 row scales): tanh-GELU, then quant
+  fused_quant_rows(x)  → (int8, row scales): plain per-row quantization
+
+Both return pairs consumed directly by tuple-aware QuantDense
+(ops/quant.py). Inference-only (the int8 path is a serving mode).
+Reference provenance: the sites map to diffusers JointTransformerBlock's
+ff / attention out projections (promptdiffusioncontrolnet_sd3.py:135-147).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from prompt_diffusion_tpu.ops.fused_layer_norm import row_block8
+
+# Test hook: when True, the Pallas path runs in interpret mode even on CPU.
+_FORCE_INTERPRET = False
+
+
+def _rowquant(h):
+    """fp32 (rb, C) → (int8, (rb, 1) fp32 scales)."""
+    s_a = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
+    return jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8), s_a
+
+
+def _gelu_quant_kernel(x_ref, oq_ref, os_ref):
+    h = jax.nn.gelu(x_ref[...].astype(jnp.float32), approximate=True)
+    oq, s_a = _rowquant(h)
+    oq_ref[...] = oq
+    os_ref[...] = s_a
+
+
+def _quant_rows_kernel(x_ref, oq_ref, os_ref):
+    oq, s_a = _rowquant(x_ref[...].astype(jnp.float32))
+    oq_ref[...] = oq
+    os_ref[...] = s_a
+
+
+def _jnp_fallback(x, act):
+    h = x.astype(jnp.float32)
+    if act == "gelu":
+        h = jax.nn.gelu(h, approximate=True)
+    s_a = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
+    oq = jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8)
+    return oq, s_a
+
+
+def _run(x, kernel, act):
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    n = 1
+    for d in orig_shape[:-1]:
+        n *= d
+    if jax.default_backend() == "cpu" and not _FORCE_INTERPRET:
+        oq, s_a = _jnp_fallback(x, act)
+        return oq, s_a
+    x2 = x.reshape(n, c)
+    n_pad = (-n) % 8  # (rb, 1) scale tiles need rb % 8 == 0 (see row_block8)
+    if n_pad:
+        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
+    np8 = n + n_pad
+    rb = row_block8(np8, c, x.dtype.itemsize)
+    oq, s_a = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((np8, c), jnp.int8),
+            jax.ShapeDtypeStruct((np8, 1), jnp.float32),
+        ],
+        grid=(np8 // rb,),
+        in_specs=[pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_FORCE_INTERPRET,
+    )(x2)
+    if n_pad:
+        oq, s_a = oq[:n], s_a[:n]
+    return oq.reshape(orig_shape), s_a.reshape(orig_shape[:-1] + (1,))
+
+
+def fused_gelu_quant(x):
+    """tanh-approx GELU → (int8, per-row fp32 scales) in one VMEM pass."""
+    return _run(x, _gelu_quant_kernel, "gelu")
+
+
+def fused_quant_rows(x):
+    """Per-row int8 quantization → (int8, scales) in one VMEM pass."""
+    return _run(x, _quant_rows_kernel, "none")
+
+
+# ---------------------------------------------------------------------------
+# GEGLU (SD1.5 transformer FF: h · gelu_erf(gate) — attention.py:49-77 uses
+# the EXACT erf GELU, unlike the MMDiT's tanh approximation)
+# ---------------------------------------------------------------------------
+
+
+def _geglu_quant_kernel(x_ref, oq_ref, os_ref):
+    x = x_ref[...].astype(jnp.float32)  # (rb, 2·I): [h | gate]
+    inner = x.shape[-1] // 2
+    h = x[:, :inner] * jax.nn.gelu(x[:, inner:], approximate=False)
+    oq, s_a = _rowquant(h)
+    oq_ref[...] = oq
+    os_ref[...] = s_a
+
+
+def fused_geglu_quant(proj):
+    """(…, 2·I) GEGLU projection → (int8 (…, I), per-row scales).
+
+    h·gelu_erf(gate) + row-max + quantize in one VMEM pass (the unfused
+    int8 path reads the (…, 4C) GEGLU output twice more for amax+quant).
+    Uses lax.erf inside the kernel — chip-validate before defaulting on
+    (PD_SD15_FUSED_GEGLU gates the call site in models/layers.py)."""
+    orig_shape = proj.shape
+    c2 = orig_shape[-1]
+    inner = c2 // 2
+    n = 1
+    for d in orig_shape[:-1]:
+        n *= d
+    if jax.default_backend() == "cpu" and not _FORCE_INTERPRET:
+        x = proj.astype(jnp.float32)
+        h = x[..., :inner] * jax.nn.gelu(x[..., inner:], approximate=False)
+        s_a = jnp.maximum(
+            jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
+        oq = jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8)
+        return oq, s_a
+    x2 = proj.reshape(n, c2)
+    n_pad = (-n) % 8
+    if n_pad:
+        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
+    np8 = n + n_pad
+    rb = row_block8(np8, c2, proj.dtype.itemsize)
+    oq, s_a = pl.pallas_call(
+        _geglu_quant_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((np8, inner), jnp.int8),
+            jax.ShapeDtypeStruct((np8, 1), jnp.float32),
+        ],
+        grid=(np8 // rb,),
+        in_specs=[pl.BlockSpec((rb, c2), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((rb, inner), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_FORCE_INTERPRET,
+    )(x2)
+    if n_pad:
+        oq, s_a = oq[:n], s_a[:n]
+    return (oq.reshape(orig_shape[:-1] + (inner,)),
+            s_a.reshape(orig_shape[:-1] + (1,)))

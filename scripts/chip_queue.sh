@@ -29,3 +29,6 @@ timeout 1800 python bench.py --config sd15 --int8-vae > /tmp/chipq/sd15_int8vae.
 timeout 2400 python bench.py --config sd3 --int8-vae > /tmp/chipq/sd3_int8vae.log 2>&1
 # 6. SD3 attention block_q sweep (3.71 ms/site vs 3.17 floor)
 timeout 2400 python tools/attn_sd3_probe.py --sweep > /tmp/chipq/attn_sweep.log 2>&1
+# 7. SD1.5 fused GEGLU->int8 epilogue (lax.erf in Mosaic): compile + measure;
+#    flip the default on (and drop the env gate) if it compiles and wins
+PD_SD15_FUSED_GEGLU=1 timeout 1800 python bench.py --config sd15 > /tmp/chipq/sd15_geglu.log 2>&1
