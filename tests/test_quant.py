@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import pytest
 
 from prompt_diffusion_tpu.ops.quant import QuantConv, QuantDense
-from prompt_diffusion_tpu.utils.dtypes import DTypePolicy, int8_policy
+from prompt_diffusion_tpu.utils.dtypes import DTypePolicy, fp32_policy, int8_policy
 
 
 def _rel_err(a, b):
@@ -240,3 +240,70 @@ def test_int8_vae_decode_close_and_tree_identical():
     assert out_i.dtype == out_b.dtype
     err = _rel_err(np.asarray(out_i, np.float32), np.asarray(out_b, np.float32))
     assert err < 0.15, err
+
+
+def test_sd3_int8_pipeline_smoke_close_to_fp32():
+    """Tiny SD3 stack through the PUBLIC pipeline in the int8 serving
+    policy (exercises the fused AdaLN + fused GELU/row-quant wiring end
+    to end): identical inputs, images finite/bounded and close to fp32."""
+    from prompt_diffusion_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from prompt_diffusion_tpu.models.controlnet_sd3 import (
+        SD3ControlNet, SupportPairDownProj)
+    from prompt_diffusion_tpu.models.mmdit_sd3 import MMDiTConfig, SD3Transformer
+    from prompt_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd3 import PromptDiffusionSD3
+
+    cfg = MMDiTConfig(
+        sample_size=8, patch_size=2, in_channels=4, num_layers=2,
+        attention_head_dim=16, num_attention_heads=4, joint_attention_dim=64,
+        caption_projection_dim=64, pooled_projection_dim=64, out_channels=4,
+        pos_embed_max_size=16,
+    )
+
+    def build(policy):
+        return PromptDiffusionSD3(
+            transformer=SD3Transformer(config=cfg, policy=policy),
+            controlnet=SD3ControlNet(config=cfg, policy=policy),
+            down_proj=SupportPairDownProj(policy=policy),
+            vae=AutoencoderKL(config=VAEConfig(
+                ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1, z_channels=4,
+                scale_factor=1.5305, shift_factor=0.0609), policy=policy),
+            clip_l=CLIPTextModel(config=CLIPTextConfig(
+                vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+                intermediate_size=64), policy=policy),
+            clip_g=CLIPTextModel(config=CLIPTextConfig(
+                vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+                intermediate_size=64), policy=policy),
+            t5=None,
+        )
+
+    ids = {"l": jnp.zeros((2, 77), jnp.int32), "g": jnp.zeros((2, 77), jnp.int32)}
+    img = jnp.zeros((2, 64, 64, 3))
+    pipe32 = build(fp32_policy())
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 10, 64))
+    pooled = jnp.zeros((1, 64))
+    img1 = jnp.zeros((1, 64, 64, 3))
+    ids1 = jnp.zeros((1, 77), jnp.int32)
+    params = {
+        "transformer": jax.jit(pipe32.transformer.init)(rng, lat, t, ctx, pooled),
+        "controlnet": jax.jit(pipe32.controlnet.init)(rng, lat, t, lat, lat, ctx, pooled),
+        "down_proj": jax.jit(pipe32.down_proj.init)(rng, img1, img1),
+        "vae": jax.jit(pipe32.vae.init)(rng, img1),
+        "clip_l": jax.jit(pipe32.clip_l.init)(rng, ids1),
+        "clip_g": jax.jit(pipe32.clip_g.init)(rng, ids1),
+    }
+    out32 = pipe32.jit_generate()(params, jax.random.PRNGKey(1), ids, ids,
+                                  img, img, img, num_steps=2, guidance_scale=7.0)
+
+    pipe8 = build(int8_policy())
+    # param trees are identical by construction — reuse the fp32 params
+    out8 = pipe8.jit_generate()(params, jax.random.PRNGKey(1), ids, ids,
+                                img, img, img, num_steps=2, guidance_scale=7.0)
+    a32, a8 = np.asarray(out32, np.float32), np.asarray(out8, np.float32)
+    assert a8.shape == a32.shape == (2, 64, 64, 3)
+    assert np.isfinite(a8).all() and a8.min() >= 0.0 and a8.max() <= 1.0
+    rel = np.abs(a8 - a32).mean() / (np.abs(a32 - a32.mean()).mean() + 1e-6)
+    assert rel < 0.35, rel  # int8 is a serving mode of the SAME model
