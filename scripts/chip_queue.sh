@@ -32,3 +32,8 @@ timeout 2400 python tools/attn_sd3_probe.py --sweep > /tmp/chipq/attn_sweep.log 
 # 7. SD1.5 fused GEGLU->int8 epilogue (lax.erf in Mosaic): compile + measure;
 #    flip the default on (and drop the env gate) if it compiles and wins
 PD_SD15_FUSED_GEGLU=1 timeout 1800 python bench.py --config sd15 > /tmp/chipq/sd15_geglu.log 2>&1
+# 8. re-gate int8 quality after the fused epilogue wiring (per-row scales
+#    replace per-tensor at the gelu/attn-out sites — expected to only
+#    tighten, but the acceptance bound must be re-demonstrated)
+timeout 3600 python scripts/int8_quality.py --stack sd3 --n 96 > /tmp/chipq/quality_sd3.log 2>&1
+timeout 3600 python scripts/int8_quality.py --stack sd15 --n 256 > /tmp/chipq/quality_sd15.log 2>&1
