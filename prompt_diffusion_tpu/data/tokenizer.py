@@ -162,8 +162,19 @@ class CLIPTokenizer:
                 ids.extend(self._encode_plain(part))
         return ids
 
-    def __call__(self, texts: Sequence[str], max_length: int = MAX_LEN) -> np.ndarray:
-        out = np.full((len(texts), max_length), self.eot, dtype=np.int32)
+    def __call__(self, texts: Sequence[str], max_length: int = MAX_LEN,
+                 openclip_pack: bool = False) -> np.ndarray:
+        """Fixed-length id batch.
+
+        Default packing matches HF `CLIPTokenizer(..., padding="max_length")`
+        as used by the reference's FrozenCLIPEmbedder (ldm/modules/encoders/
+        modules.py:99,118): end-token padding. `openclip_pack=True` matches
+        `open_clip.tokenize` as used by FrozenOpenCLIPEmbedder
+        (modules.py:169): ZERO padding after eot. Truncation is identical
+        in both schemes (open_clip's `tokens[:n]; tokens[-1] = eot`
+        reduces to keep-(n-2)-content + eot — exactly the slice below)."""
+        pad = 0 if openclip_pack else self.eot
+        out = np.full((len(texts), max_length), pad, dtype=np.int32)
         for i, t in enumerate(texts):
             ids = [self.sot] + self.encode_text(t)[: max_length - 2] + [self.eot]
             out[i, : len(ids)] = ids
@@ -199,8 +210,10 @@ class HashTokenizer:
             ids.append(1000 + h % 48000)
         return ids
 
-    def __call__(self, texts: Sequence[str], max_length: int = MAX_LEN) -> np.ndarray:
-        out = np.full((len(texts), max_length), EOT, dtype=np.int32)
+    def __call__(self, texts: Sequence[str], max_length: int = MAX_LEN,
+                 openclip_pack: bool = False) -> np.ndarray:
+        out = np.full((len(texts), max_length),
+                      0 if openclip_pack else EOT, dtype=np.int32)
         for i, t in enumerate(texts):
             ids = [SOT] + self.encode_text(t)[: max_length - 2] + [EOT]
             out[i, : len(ids)] = ids

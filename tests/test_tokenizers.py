@@ -200,6 +200,48 @@ def test_clip_bpe_matches_transformers(clip_assets):
         assert mine == theirs, f"mismatch on {p!r}"
 
 
+def test_openclip_pack_matches_openclip_tokenize(clip_assets):
+    """openclip_pack=True vs a faithful restatement of `open_clip.tokenize`
+    (the packing FrozenOpenCLIPEmbedder feeds its text tower,
+    /root/reference/ldm/modules/encoders/modules.py:169): zero padding,
+    truncate-to-context-then-force-eot. BPE ids come from HF CLIPTokenizer
+    (same BPE table as open_clip's SimpleTokenizer), so this isolates the
+    PACKING semantics — the id parity itself is covered above."""
+    transformers = pytest.importorskip("transformers")
+    import numpy as np
+
+    hf = transformers.CLIPTokenizer(
+        str(clip_assets / "vocab.json"), str(clip_assets / "merges.txt")
+    )
+    ours = CLIPTokenizer(str(clip_assets / "vocab.json"), str(clip_assets / "merges.txt"))
+    sot, eot = ours.sot, ours.eot
+
+    def openclip_tokenize(texts, context_length=77):
+        # restatement of open_clip.tokenize (open_clip/tokenizer.py)
+        result = np.zeros((len(texts), context_length), dtype=np.int32)
+        for i, text in enumerate(texts):
+            content = hf(text)["input_ids"][1:-1]  # strip HF's sot/eot
+            tokens = [sot] + content + [eot]
+            if len(tokens) > context_length:
+                tokens = tokens[:context_length]
+                tokens[-1] = eot
+            result[i, : len(tokens)] = tokens
+        return result
+
+    prompts = [
+        "a photo of the cat",
+        "the cat sat on the mat",
+        "",
+        "cat " * 100,  # truncation path
+    ]
+    np.testing.assert_array_equal(
+        ours(prompts, max_length=77, openclip_pack=True),
+        openclip_tokenize(prompts),
+    )
+    # default packing is unchanged (eot padding)
+    assert ours(["a cat"], max_length=8)[0].tolist()[-1] == eot
+
+
 def test_load_tokenizer_warns_on_hash_fallback(tmp_path):
     with pytest.warns(UserWarning, match="HashTokenizer"):
         load_tokenizer(str(tmp_path))
