@@ -356,12 +356,17 @@ def _check_backend_alive(timeout_s: float = 180.0):
 
     done = threading.Event()
     devs = []
+    err = []
 
     def probe():
-        import jax
+        try:
+            import jax
 
-        devs.extend(jax.devices())
-        done.set()
+            devs.extend(jax.devices())
+        except BaseException as e:  # record fast failures — they are NOT a hang
+            err.append(e)
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
@@ -371,6 +376,13 @@ def _check_backend_alive(timeout_s: float = 180.0):
         sys.stderr.flush()
         # os._exit: the probe thread is wedged inside backend init and may
         # hold locks jax's atexit handlers need — a plain sys.exit can hang
+        import os
+
+        os._exit(3)
+    if err:
+        log(f"FATAL: backend init failed (not a hang): {err[0]!r} "
+            "(no metric emitted)")
+        sys.stderr.flush()
         import os
 
         os._exit(3)

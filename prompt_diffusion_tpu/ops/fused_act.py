@@ -57,22 +57,27 @@ def _jnp_fallback(x, act):
     h = x.astype(jnp.float32)
     if act == "gelu":
         h = jax.nn.gelu(h, approximate=True)
-    s_a = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
-    oq = jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8)
-    return oq, s_a
+    elif act == "geglu":
+        inner = h.shape[-1] // 2
+        h = h[..., :inner] * jax.nn.gelu(h[..., inner:], approximate=False)
+    return _rowquant(h)
 
 
-def _run(x, kernel, act):
+def _run(x, kernel, act, out_width=None):
+    """Shared scaffolding: flatten to (N, C), pad N to a multiple of 8
+    ((rb, 1) scale tiles need rb % 8 == 0 — see row_block8), block rows,
+    run `kernel`, slice the pad off. `out_width` narrows the int8 output's
+    last dim (GEGLU halves it); None keeps the input width."""
     orig_shape = x.shape
     c = orig_shape[-1]
+    ow = c if out_width is None else out_width
     n = 1
     for d in orig_shape[:-1]:
         n *= d
     if jax.default_backend() == "cpu" and not _FORCE_INTERPRET:
-        oq, s_a = _jnp_fallback(x, act)
-        return oq, s_a
+        return _jnp_fallback(x, act)
     x2 = x.reshape(n, c)
-    n_pad = (-n) % 8  # (rb, 1) scale tiles need rb % 8 == 0 (see row_block8)
+    n_pad = (-n) % 8
     if n_pad:
         x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
     np8 = n + n_pad
@@ -80,13 +85,13 @@ def _run(x, kernel, act):
     oq, s_a = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((np8, c), jnp.int8),
+            jax.ShapeDtypeStruct((np8, ow), jnp.int8),
             jax.ShapeDtypeStruct((np8, 1), jnp.float32),
         ],
         grid=(np8 // rb,),
         in_specs=[pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, ow), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
@@ -94,7 +99,7 @@ def _run(x, kernel, act):
     )(x2)
     if n_pad:
         oq, s_a = oq[:n], s_a[:n]
-    return oq.reshape(orig_shape), s_a.reshape(orig_shape[:-1] + (1,))
+    return oq.reshape(orig_shape[:-1] + (ow,)), s_a.reshape(orig_shape[:-1] + (1,))
 
 
 def fused_gelu_quant(x):
@@ -129,41 +134,5 @@ def fused_geglu_quant(proj):
     int8 path reads the (…, 4C) GEGLU output twice more for amax+quant).
     Uses lax.erf inside the kernel — chip-validate before defaulting on
     (PD_SD15_FUSED_GEGLU gates the call site in models/layers.py)."""
-    orig_shape = proj.shape
-    c2 = orig_shape[-1]
-    inner = c2 // 2
-    n = 1
-    for d in orig_shape[:-1]:
-        n *= d
-    if jax.default_backend() == "cpu" and not _FORCE_INTERPRET:
-        x = proj.astype(jnp.float32)
-        h = x[..., :inner] * jax.nn.gelu(x[..., inner:], approximate=False)
-        s_a = jnp.maximum(
-            jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
-        oq = jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8)
-        return oq, s_a
-    x2 = proj.reshape(n, c2)
-    n_pad = (-n) % 8
-    if n_pad:
-        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
-    np8 = n + n_pad
-    rb = row_block8(np8, c2, proj.dtype.itemsize)
-    oq, s_a = pl.pallas_call(
-        _geglu_quant_kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((np8, inner), jnp.int8),
-            jax.ShapeDtypeStruct((np8, 1), jnp.float32),
-        ],
-        grid=(np8 // rb,),
-        in_specs=[pl.BlockSpec((rb, c2), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((rb, inner), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_FORCE_INTERPRET,
-    )(x2)
-    if n_pad:
-        oq, s_a = oq[:n], s_a[:n]
-    return (oq.reshape(orig_shape[:-1] + (inner,)),
-            s_a.reshape(orig_shape[:-1] + (1,)))
+    return _run(proj, _geglu_quant_kernel, "geglu",
+                out_width=proj.shape[-1] // 2)

@@ -23,7 +23,6 @@ timeout 1800 python tools/trace_sd3.py --int8 > /tmp/chipq/trace_sd3_int8.log 2>
 # 4. re-confirm headline serving numbers after this session's edits
 timeout 1800 python bench.py --config sd15 > /tmp/chipq/sd15_int8.log 2>&1
 timeout 2400 python bench.py --config sd3 > /tmp/chipq/sd3_int8.log 2>&1
-echo QUEUE_DONE
 # 5. int8 VAE measurement (opt-in flag, landed end of r3, unmeasured)
 timeout 1800 python bench.py --config sd15 --int8-vae > /tmp/chipq/sd15_int8vae.log 2>&1
 timeout 2400 python bench.py --config sd3 --int8-vae > /tmp/chipq/sd3_int8vae.log 2>&1
@@ -37,3 +36,4 @@ PD_SD15_FUSED_GEGLU=1 timeout 1800 python bench.py --config sd15 > /tmp/chipq/sd
 #    tighten, but the acceptance bound must be re-demonstrated)
 timeout 3600 python scripts/int8_quality.py --stack sd3 --n 96 > /tmp/chipq/quality_sd3.log 2>&1
 timeout 3600 python scripts/int8_quality.py --stack sd15 --n 256 > /tmp/chipq/quality_sd15.log 2>&1
+echo QUEUE_DONE
