@@ -42,10 +42,23 @@ this is the TPU-native production-serving lever.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Variant dispatch, read ONCE at import (participates in tracing — see the
+# PD_SD15_INT8_ATTN note in models/layers.py):
+#   im2col (default): XLA materializes the x3 im2col in HBM (3x int8
+#     activation traffic) — the round-3 measured kernel.
+#   xshift (PD_INT8_CONV_XSHIFT=1): the kernel reads the RAW halo'd int8
+#     rows and builds the x3 concat in VMEM — same MXU schedule, one VPU
+#     relayout pass instead of the 3x HBM round-trip. Built for the
+#     traffic-bound 64^2/320ch site (130.6 TF/s < bf16's 141.6 with
+#     im2col); chip-measure via tools/int8_probe.py before defaulting.
+_DEFAULT_VARIANT = "xshift" if os.environ.get("PD_INT8_CONV_XSHIFT") else "im2col"
 
 # Per-step VMEM working-set budget (activation block + weight block +
 # int32 acc + out block + double-buffering headroom on a ~16 MB core).
@@ -54,25 +67,57 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 _X_BLOCK_TARGET = 2 * 1024 * 1024
 
 
-def _conv_kernel(x_ref, w_ref, sw_ref, sa_ref, b_ref, o_ref):
-    """One (Cout block, batch row, row block): 3 row-shifted int8 dots,
-    int32 accum in VMEM, fused dequant+bias epilogue."""
-    hp, w, c3 = x_ref.shape[2:]
-    h = hp - 2
-    acc = None
-    for dy in range(3):
-        xs = x_ref[0, 0, dy : dy + h].reshape(h * w, c3)
-        d = jax.lax.dot_general(
-            xs, w_ref[dy], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        acc = d if acc is None else acc + d
+def _epilogue(acc, sw_ref, sa_ref, b_ref, o_ref, h, w):
     out = acc.astype(jnp.float32) * (sa_ref[0, 0, 0] * sw_ref[:])  # (hw,cb)*(1,cb)
     out = out + b_ref[:]
     o_ref[0] = out.reshape(h, w, -1).astype(o_ref.dtype)
 
 
-def _pick_blocks(h, w, cin, cout):
+def _row_shifted_dots(x3, w_ref, h, w):
+    """3 row-shifted int8 MXU dots over an (hp, w, 3Cin) x3 slab,
+    accumulated in int32 in VMEM."""
+    c3 = x3.shape[-1]
+    acc = None
+    for dy in range(3):
+        xs = x3[dy : dy + h].reshape(h * w, c3)
+        d = jax.lax.dot_general(
+            xs, w_ref[dy], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _conv_kernel(x_ref, w_ref, sw_ref, sa_ref, b_ref, o_ref):
+    """One (Cout block, batch row, row block): 3 row-shifted int8 dots,
+    int32 accum in VMEM, fused dequant+bias epilogue."""
+    hp, w, _ = x_ref.shape[2:]
+    h = hp - 2
+    acc = _row_shifted_dots(x_ref[0, 0], w_ref, h, w)
+    _epilogue(acc, sw_ref, sa_ref, b_ref, o_ref, h, w)
+
+
+def _conv_kernel_xshift(x_ref, w_ref, sw_ref, sa_ref, b_ref, o_ref):
+    """Like _conv_kernel, but the input block is the RAW halo'd int8 rows
+    ((hb+2, W+2, Cin) — x-padded, no im2col): the x3 concat is built here
+    in VMEM (one VPU relayout) instead of being materialized in HBM by
+    XLA, cutting the activation HBM traffic ~3x."""
+    hp, wp, _ = x_ref.shape[2:]
+    h, w = hp - 2, wp - 2
+    xs = x_ref[0, 0]
+    x3 = jnp.concatenate([xs[:, dx : dx + w, :] for dx in range(3)], axis=-1)
+    acc = _row_shifted_dots(x3, w_ref, h, w)
+    _epilogue(acc, sw_ref, sa_ref, b_ref, o_ref, h, w)
+
+
+def _x_bytes(hb, w, cin, variant):
+    if variant == "xshift":
+        # raw halo'd input block + the in-kernel x3 concat buffer
+        return (hb + 2) * ((w + 2) * cin + w * 3 * cin)
+    return (hb + 2) * w * 3 * cin  # int8 im2col slab
+
+
+def _pick_blocks(h, w, cin, cout, variant=None):
     """(row block, Cout block) fitting the VMEM budget, or None.
 
     Cout blocks must be multiples of 128 (TPU lane tiling) or the full
@@ -80,15 +125,17 @@ def _pick_blocks(h, w, cin, cout):
     whose x slab is within the target and walks both block sizes down
     until the working set fits the budget.
     """
+    variant = variant or _DEFAULT_VARIANT
     hbs = [c for c in range(h, 0, -1) if h % c == 0]
     # prefer the largest hb within the x-slab target; fall back to
     # progressively smaller ones if the budget check fails below
     start = next((i for i, c in enumerate(hbs)
-                  if (c + 2) * w * 3 * cin <= _X_BLOCK_TARGET), len(hbs) - 1)
+                  if _x_bytes(c, w, cin, variant) <= _X_BLOCK_TARGET),
+                 len(hbs) - 1)
     cbs = [cout] + [c for c in range(cout - cout % 128, 127, -128)
                     if cout % c == 0]
     for hb in hbs[start:]:
-        x_bytes = (hb + 2) * w * 3 * cin  # int8
+        x_bytes = _x_bytes(hb, w, cin, variant)
         for cb in cbs:
             w_bytes = 3 * 3 * cin * cb       # int8
             acc_bytes = hb * w * cb * 4      # int32 (+ f32 epilogue live range)
@@ -98,12 +145,12 @@ def _pick_blocks(h, w, cin, cout):
     return None
 
 
-def conv3x3_int8_supported(h, w, cin, cout) -> bool:
-    return w % 8 == 0 and _pick_blocks(h, w, cin, cout) is not None
+def conv3x3_int8_supported(h, w, cin, cout, variant=None) -> bool:
+    return w % 8 == 0 and _pick_blocks(h, w, cin, cout, variant) is not None
 
 
 def conv3x3_int8(xq, s_a, wq, s_w, bias, out_dtype=jnp.bfloat16,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, variant: str | None = None):
     """SAME 3x3 stride-1 int8 convolution with fused dequant epilogue.
 
     xq   (B, H, W, Cin) int8    quantized activation
@@ -119,23 +166,37 @@ def conv3x3_int8(xq, s_a, wq, s_w, bias, out_dtype=jnp.bfloat16,
     """
     b, h, w, cin = xq.shape
     cout = wq.shape[-1]
-    blocks = _pick_blocks(h, w, cin, cout)
+    variant = variant or _DEFAULT_VARIANT
+    blocks = _pick_blocks(h, w, cin, cout, variant)
     assert blocks is not None, "caller must check conv3x3_int8_supported"
     hb, cb = blocks
     nb = h // hb
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    # x-direction im2col (factor 3) + row padding + halo'd row blocks,
-    # all cheap int8 copies in XLA.
-    xp = jnp.pad(xq, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    x3 = jnp.concatenate([xp[:, :, dx : dx + w] for dx in range(3)], axis=-1)
-    x3p = jnp.pad(x3, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    if nb == 1:
-        x3r = x3p[:, None]
+    if variant == "xshift":
+        # raw x-padded rows + halo'd row blocks; the im2col happens in-kernel
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        if nb == 1:
+            x3r = xp[:, None]
+        else:
+            x3r = jnp.stack(
+                [xp[:, r * hb : r * hb + hb + 2] for r in range(nb)], axis=1)
+        x_block = (1, 1, hb + 2, w + 2, cin)
+        kernel = _conv_kernel_xshift
     else:
-        x3r = jnp.stack(
-            [x3p[:, r * hb : r * hb + hb + 2] for r in range(nb)], axis=1)
+        # x-direction im2col (factor 3) + row padding + halo'd row blocks,
+        # all cheap int8 copies in XLA.
+        xp = jnp.pad(xq, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        x3 = jnp.concatenate([xp[:, :, dx : dx + w] for dx in range(3)], axis=-1)
+        x3p = jnp.pad(x3, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        if nb == 1:
+            x3r = x3p[:, None]
+        else:
+            x3r = jnp.stack(
+                [x3p[:, r * hb : r * hb + hb + 2] for r in range(nb)], axis=1)
+        x_block = (1, 1, hb + 2, w, 3 * cin)
+        kernel = _conv_kernel
     w3 = wq.reshape(3, 3 * cin, cout)  # dim1 = dx*Cin + ci, matches concat
 
     # (B, 1, 128): Mosaic block tiling needs the last two dims legal —
@@ -147,11 +208,11 @@ def conv3x3_int8(xq, s_a, wq, s_w, bias, out_dtype=jnp.bfloat16,
           else jnp.asarray(bias, jnp.float32).reshape(1, cout))
 
     return pl.pallas_call(
-        _conv_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), out_dtype),
         grid=(cout // cb, b, nb),
         in_specs=[
-            pl.BlockSpec((1, 1, hb + 2, w, 3 * cin),
+            pl.BlockSpec(x_block,
                          lambda j, i, r: (i, r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3 * cin, cb), lambda j, i, r: (0, 0, j),

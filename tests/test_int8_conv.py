@@ -46,11 +46,14 @@ def test_kernel_exact_vs_xla(shape):
     s_w = jnp.asarray(rng.uniform(0.001, 0.01, (cout,)), jnp.float32)
     bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
 
-    got = conv3x3_int8(xq, s_a, wq, s_w, bias, interpret=True)
     want = _xla_ref(xq, s_a, wq, s_w, bias)
-    assert got.dtype == want.dtype
-    np.testing.assert_array_equal(np.asarray(got, np.float32),
-                                  np.asarray(want, np.float32))
+    for variant in ("im2col", "xshift"):
+        got = conv3x3_int8(xq, s_a, wq, s_w, bias, interpret=True,
+                           variant=variant)
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want, np.float32),
+                                      err_msg=variant)
 
 
 def test_kernel_no_bias_f32_out():

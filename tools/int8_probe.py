@@ -137,6 +137,18 @@ def main():
 
     timed(conv_pallas_int8, (xi, wi4), "conv3x3 PALLAS int8", flops, n)
 
+    def conv_pallas_int8_xshift(x, w):
+        def body(xc, _):
+            o = conv3x3_int8(xc, sa, w, sw, None, out_dtype=jnp.float32,
+                             variant="xshift")
+            return xc + (jnp.round(o).astype(jnp.int32) & 1).astype(jnp.int8), None
+        return jnp.sum(jax.lax.scan(body, x, jnp.arange(n))[0].astype(jnp.int32))
+
+    # in-kernel im2col: kills the 3x HBM x3 traffic that makes the 64^2
+    # site the only one below bf16 (see ops/int8_conv.py variant notes)
+    timed(conv_pallas_int8_xshift, (xi, wi4), "conv3x3 PALLAS int8 XSHIFT",
+          flops, n)
+
     # deeper-level hot shapes
     for (hh, cc) in [(32, 640), (16, 1280)]:
         xi2 = (np.random.default_rng(3).normal(size=(B, hh, hh, cc)) * 20).astype(np.int8)
@@ -164,6 +176,16 @@ def main():
 
         timed(conv_bf16_l, (xb2, wb2), f"conv3x3 {hh}^2 {cc}ch bf16", fl2, n)
         timed(conv_pallas_int8_l, (xi2, wi2), f"conv3x3 {hh}^2 {cc}ch PALLAS int8", fl2, n)
+
+        def conv_pallas_int8_xs_l(x, w, _sa=sa2, _sw=sw2, _n=n):
+            def body(xc, _):
+                o = conv3x3_int8(xc, _sa, w, _sw, None, out_dtype=jnp.float32,
+                                 variant="xshift")
+                return xc + (jnp.round(o).astype(jnp.int32) & 1).astype(jnp.int8), None
+            return jnp.sum(jax.lax.scan(body, x, jnp.arange(_n))[0].astype(jnp.int32))
+
+        timed(conv_pallas_int8_xs_l, (xi2, wi2),
+              f"conv3x3 {hh}^2 {cc}ch PALLAS int8 XSHIFT", fl2, n)
 
     # --- GEGLU FF dot: (B*N, 320) @ (320, 2560) --------------------------
     M, K, N2 = B * H * W, C, 2560
