@@ -340,6 +340,8 @@ def main():
     args = ap.parse_args()
     if args.int8 is None:
         args.int8 = args.config in ("sd15", "sd3")
+    if args.int8_vae and not args.int8:
+        ap.error("--int8-vae requires the int8 mode (drop --no-int8)")
     _check_backend_alive()
     {"sd15": bench_sd15, "sd3": bench_sd3,
      "annotate": bench_annotate, "train": bench_train}[args.config](args)

@@ -149,11 +149,15 @@ class CLIPTokenizer:
         text = _basic_clean(text)
         if not self.added_tokens:
             return self._encode_plain(text)
-        # split on placeholder tokens first so they bypass BPE
+        # split on placeholder tokens first so they bypass BPE. Boundary
+        # lookarounds: a placeholder must not match INSIDE a longer word
+        # ('style' must not split 'styles' — diffusers'
+        # TextualInversionLoaderMixin replaces whole tokens only)
         import re as _re
 
-        pattern = "|".join(
+        pattern = ("(?<![a-z0-9])(?:" + "|".join(
             _re.escape(t) for t in sorted(self.added_tokens, key=len, reverse=True))
+            + ")(?![a-z0-9])")
         ids: List[int] = []
         for part in _re.split(f"({pattern})", text):
             if part in self.added_tokens:

@@ -183,11 +183,19 @@ def compute_stats_from_iterator(
 
 
 def fid_between_dirs(
-    feature_fn, feature_dim: int, dir_gen: str, ref_stats_path: str, batch_size: int = 32
+    feature_fn, feature_dim: int, dir_gen: str, ref_stats_path: str,
+    batch_size: int = 32, mesh=None,
 ) -> float:
-    stats = compute_stats_from_iterator(
-        feature_fn, _image_dir_batches(dir_gen, batch_size), feature_dim
-    )
+    """FID between an image directory and saved reference stats — the
+    library form of the CLI's `calc` mode (which calls this). `mesh`
+    shards the feature pass over the devices with an in-graph psum
+    (reference eval/fid.py:53-77 rank-sharding + all_reduce)."""
+    batches = _image_dir_batches(dir_gen, batch_size)
+    if mesh is not None:
+        stats = compute_stats_from_iterator_sharded(
+            feature_fn, batches, feature_dim, mesh)
+    else:
+        stats = compute_stats_from_iterator(feature_fn, batches, feature_dim)
     mu_g, sig_g = stats.finalize()
     mu_r, sig_r = FeatureStats.load(ref_stats_path).finalize()
     return frechet_distance(mu_g, sig_g, mu_r, sig_r)
@@ -239,25 +247,25 @@ def main():
     args = p.parse_args()
 
     feature_fn, dim = _default_feature_fn()
+    mesh = None
+    if args.sharded and jax.device_count() > 1:
+        from prompt_diffusion_tpu.parallel.mesh import make_mesh
 
-    def gather(directory):
-        batches = _image_dir_batches(directory, args.batch)
-        if args.sharded and jax.device_count() > 1:
-            from prompt_diffusion_tpu.parallel.mesh import make_mesh
-
-            return compute_stats_from_iterator_sharded(
-                feature_fn, batches, dim, make_mesh()
-            )
-        return compute_stats_from_iterator(feature_fn, batches, dim)
+        mesh = make_mesh()
 
     if args.mode == "ref":
-        stats = gather(args.images)
+        batches = _image_dir_batches(args.images, args.batch)
+        if mesh is not None:
+            stats = compute_stats_from_iterator_sharded(
+                feature_fn, batches, dim, mesh)
+        else:
+            stats = compute_stats_from_iterator(feature_fn, batches, dim)
         stats.save(args.out)
         print(f"saved reference stats ({stats.count} images) → {args.out}")
     else:
-        mu_g, sig_g = gather(args.images).finalize()
-        mu_r, sig_r = FeatureStats.load(args.ref).finalize()
-        print(f"FID: {frechet_distance(mu_g, sig_g, mu_r, sig_r):.4f}")
+        fid = fid_between_dirs(feature_fn, dim, args.images, args.ref,
+                               args.batch, mesh=mesh)
+        print(f"FID: {fid:.4f}")
 
 
 if __name__ == "__main__":

@@ -150,15 +150,20 @@ class GenerationServer:
                 self._worker = None
             # the worker fails its own pending dict on exit; anything that
             # raced into the queue after that is failed here so no
-            # fut.result() ever hangs past shutdown (submit() serializes
-            # against this drain via the same lock)
-            while True:
-                try:
-                    _, fut = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                if not fut.done():
-                    fut.set_exception(ServerStopped("server stopped"))
+            # fut.result() ever hangs past shutdown (submit() re-drains
+            # after a post-stop put for the same guarantee)
+            self._fail_queued()
+
+    def _fail_queued(self):
+        """Drain the queue, failing every undone future. Caller holds
+        self._lifecycle. Idempotent."""
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if not fut.done():
+                fut.set_exception(ServerStopped("server stopped"))
 
     def __enter__(self):
         return self.start()
@@ -170,17 +175,26 @@ class GenerationServer:
 
     def submit(self, req: GenerationRequest) -> Future:
         fut: Future = Future()
-        with self._lifecycle:
-            # bounded-queue backpressure, but re-check the stop flag each
-            # wait slice: stop() sets the flag BEFORE taking this lock, so
-            # a full queue with no consumer cannot deadlock shutdown
-            while not self._stop.is_set():
-                try:
-                    self._queue.put((req, fut), timeout=0.1)
-                    return fut
-                except queue.Full:
-                    continue
-            fut.set_exception(ServerStopped("server stopped"))
+        # bounded-queue backpressure OUTSIDE the lifecycle lock: a submit
+        # blocked on a full queue must not prevent start()/stop() from
+        # taking the lock — the worker those calls manage is the only
+        # thing that can drain the queue. Re-check the stop flag each wait
+        # slice so a full queue with no consumer cannot deadlock shutdown.
+        while True:
+            if self._stop.is_set():
+                fut.set_exception(ServerStopped("server stopped"))
+                return fut
+            try:
+                self._queue.put((req, fut), timeout=0.1)
+                break
+            except queue.Full:
+                continue
+        if self._stop.is_set():
+            # raced with stop(): its drain may have finished before our put
+            # landed. Re-drain under the lock (idempotent) so no queued
+            # fut.result() ever hangs past shutdown.
+            with self._lifecycle:
+                self._fail_queued()
         return fut
 
     def generate(self, req: GenerationRequest, timeout: Optional[float] = None):

@@ -52,24 +52,7 @@ def perturb_zero_init(params, scale=0.01):
     return jax.tree_util.tree_map(f, params)
 
 
-def ssim(a, b):
-    """Mean SSIM over a batch of (H,W,3) float images in [0,1] (7×7
-    uniform window, standard constants)."""
-    from scipy.ndimage import uniform_filter
-
-    C1, C2 = 0.01 ** 2, 0.03 ** 2
-    out = []
-    for x, y in zip(a, b):
-        mx = uniform_filter(x, size=(7, 7, 1))
-        my = uniform_filter(y, size=(7, 7, 1))
-        mxx = uniform_filter(x * x, size=(7, 7, 1))
-        myy = uniform_filter(y * y, size=(7, 7, 1))
-        mxy = uniform_filter(x * y, size=(7, 7, 1))
-        vx, vy, cxy = mxx - mx * mx, myy - my * my, mxy - mx * my
-        s = ((2 * mx * my + C1) * (2 * cxy + C2)) / (
-            (mx * mx + my * my + C1) * (vx + vy + C2))
-        out.append(float(s.mean()))
-    return np.asarray(out)
+from prompt_diffusion_tpu.evaluation.ssim import batch_ssim as ssim  # noqa: E402
 
 
 def build_sd15(int8: bool, size: int, vae_int8: bool = False):

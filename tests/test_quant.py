@@ -149,8 +149,7 @@ def test_int8_pipeline_image_distribution():
     x_T per mode, pairwise SSIM between fp32 and int8 images must stay
     high and the per-image relative pixel error bounded — int8 is a
     serving mode, not a different model."""
-    from scipy.ndimage import uniform_filter
-
+    from prompt_diffusion_tpu.evaluation.ssim import batch_ssim
     from prompt_diffusion_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
     from prompt_diffusion_tpu.models.controlnet_sd15 import ControlNetSD15
     from prompt_diffusion_tpu.models.unet_sd15 import UNetConfig, UNetSD15
@@ -201,18 +200,10 @@ def test_int8_pipeline_image_distribution():
     a = gen_all(pipe_ref)
     c = gen_all(pipe_i8)
 
-    C1, C2 = 0.01 ** 2, 0.03 ** 2
-    ssims, rels = [], []
-    for x, y in zip(a, c):
-        mx = uniform_filter(x, size=(7, 7, 1)); my = uniform_filter(y, size=(7, 7, 1))
-        vx = uniform_filter(x * x, size=(7, 7, 1)) - mx * mx
-        vy = uniform_filter(y * y, size=(7, 7, 1)) - my * my
-        cxy = uniform_filter(x * y, size=(7, 7, 1)) - mx * my
-        s = ((2 * mx * my + C1) * (2 * cxy + C2)) / (
-            (mx * mx + my * my + C1) * (vx + vy + C2))
-        ssims.append(float(s.mean()))
-        rels.append(float(np.linalg.norm(x - y) / (np.linalg.norm(x) + 1e-9)))
-    ssims, rels = np.asarray(ssims), np.asarray(rels)
+    ssims = batch_ssim(a, c)
+    rels = np.asarray([
+        float(np.linalg.norm(x - y) / (np.linalg.norm(x) + 1e-9))
+        for x, y in zip(a, c)])
     # distributional acceptance: every image recognizably the same sample
     assert float(np.median(ssims)) > 0.85, ssims
     assert float(ssims.min()) > 0.7, ssims

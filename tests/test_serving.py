@@ -158,3 +158,35 @@ def test_stop_drains_queued_futures(tiny_pipeline):  # noqa: F811
     srv.stop()
     with pytest.raises(ServerStopped):
         fut.result(timeout=10)
+
+
+def test_blocked_submit_does_not_deadlock_start(tiny_pipeline):  # noqa: F811
+    """A submit() spinning on a FULL queue must not hold the lifecycle
+    lock: start() has to be able to spawn the worker that drains the
+    queue and unblocks the submit."""
+    import threading
+
+    pipe, params = tiny_pipeline
+    srv = GenerationServer(
+        pipe, params, ServerConfig(max_batch=2, flush_ms=5.0, queue_size=2))
+    futs = []
+
+    def producer():
+        for i in range(4):  # 2 fill the queue, the rest block until start
+            futs.append(srv.submit(_req(seed=i)))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    import time
+
+    deadline = time.monotonic() + 10
+    while srv._queue.qsize() < 2 and time.monotonic() < deadline:
+        time.sleep(0.01)  # wait until a submit is actually spinning
+    try:
+        srv.start()  # deadlocked here before the fix
+        t.join(timeout=30)
+        assert not t.is_alive(), "submit never unblocked after start()"
+        for f in futs:
+            assert f.result(timeout=60) is not None
+    finally:
+        srv.stop()

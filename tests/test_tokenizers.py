@@ -242,6 +242,22 @@ def test_openclip_pack_matches_openclip_tokenize(clip_assets):
     assert ours(["a cat"], max_length=8)[0].tolist()[-1] == eot
 
 
+def test_added_tokens_whole_word_only(clip_assets):
+    """Textual-inversion placeholders must replace WHOLE tokens only
+    (diffusers TextualInversionLoaderMixin semantics): 'cat' registered
+    as a placeholder must fire in 'a cat sat' but NOT inside 'catsat'."""
+    ours = CLIPTokenizer(str(clip_assets / "vocab.json"), str(clip_assets / "merges.txt"))
+    plain_catsat = ours.encode_text("catsat")
+    plain_sat = ours.encode_text("sat")
+    ours.add_tokens({"cat": [49408, 49409]})  # multi-vector TI
+    # whole word → the two TI ids replace the word
+    assert ours.encode_text("cat sat") == [49408, 49409] + plain_sat
+    # substring inside a longer word → untouched BPE encoding
+    assert ours.encode_text("catsat") == plain_catsat
+    # case-insensitive (prompt is lowercased by _basic_clean)
+    assert ours.encode_text("CAT") == [49408, 49409]
+
+
 def test_load_tokenizer_warns_on_hash_fallback(tmp_path):
     with pytest.warns(UserWarning, match="HashTokenizer"):
         load_tokenizer(str(tmp_path))
