@@ -146,6 +146,18 @@ class EditDataset:
         )
 
 
+def shard_order(n: int, seed: int, epoch: int, shard_id: int,
+                num_shards: int) -> np.ndarray:
+    """This shard's sample order for one epoch. The permutation is seeded
+    by (seed, epoch) ONLY — identical across shards — so the
+    [shard_id::num_shards] slices partition the dataset exactly (torch
+    DistributedSampler semantics, the reference's DDP loader). A
+    shard-dependent permutation seed would silently duplicate ~1-1/k of
+    the samples across hosts and skip as many."""
+    order = np.random.default_rng((seed, epoch)).permutation(n)
+    return order[shard_id::num_shards]
+
+
 class BatchLoader:
     """Threaded prefetching batch iterator over an EditDataset-like sampler.
 
@@ -240,22 +252,44 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def producer():
-            epoch = 0
+        def put(item) -> bool:
+            # bounded put that gives up once the consumer is gone — a
+            # blocking q.put would leave the thread (and a full queue of
+            # decoded batches) alive after the iterator is closed
             while not stop.is_set():
-                rng = np.random.default_rng((self.seed, epoch, self.shard_id))
-                order = rng.permutation(len(self.ds))
-                order = order[self.shard_id :: self.num_shards]
-                for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                    if stop.is_set():
-                        return
-                    q.put(self._make_batch(rng, order[s : s + self.batch_size]))
-                epoch += 1
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                epoch = 0
+                while not stop.is_set():
+                    order = shard_order(len(self.ds), self.seed, epoch,
+                                        self.shard_id, self.num_shards)
+                    rng = np.random.default_rng(
+                        (self.seed, epoch, self.shard_id))
+                    for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                        if stop.is_set():
+                            return
+                        if not put(self._make_batch(rng, order[s : s + self.batch_size])):
+                            return
+                    epoch += 1
+            except BaseException as e:
+                # surface the error in the consumer instead of dying
+                # silently and hanging its q.get() forever
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()

@@ -179,18 +179,18 @@ class ControlDataModule:
                                         indices=val_idx, train=False),
             }
 
-    def loader(self, split: str, batch_size: int, seed: int = 0, **kw):
-        from prompt_diffusion_tpu.data.edit_dataset import BatchLoader
-
+    def loader(self, split: str, batch_size: int, seed: int = 0,
+               fixed_supports=None):
         sets = [d[split] for d in self.datasets.values()]
-        return _CombinedLoader(sets, batch_size, seed, **kw)
+        return _CombinedLoader(sets, batch_size, seed,
+                               fixed_supports=fixed_supports)
 
     def tuning_loader(self, split: str, batch_size: int, num_supports: int = 15,
-                      seed: int = 0, **kw):
+                      seed: int = 0):
         """Few-shot finetune loader: supports drawn from a FIXED index set
         (finetune_promptdiffusion_sd15.py:739-753)."""
         sets = [d[split] for d in self.datasets.values()]
-        return _CombinedLoader(sets, batch_size, seed, fixed_supports=num_supports, **kw)
+        return _CombinedLoader(sets, batch_size, seed, fixed_supports=num_supports)
 
 
 class _CombinedLoader:

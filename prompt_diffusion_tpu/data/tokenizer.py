@@ -57,17 +57,48 @@ def _get_pairs(word):
     return pairs
 
 
-_WORD_RE = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
-    re.IGNORECASE,
-) if hasattr(re, "UNICODE") and False else re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
+# HF CLIPTokenizer's exact word pattern needs \p{L}/\p{N} classes (the
+# third-party `regex` module, a transformers dependency). Fall back to an
+# ASCII approximation only if it is absent — the ASCII classes split
+# accented/CJK letters into the punctuation branch, changing BPE
+# boundaries on non-English prompts.
+try:
+    import regex as _regex
+
+    _WORD_RE = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover
+    _WORD_RE = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+        re.IGNORECASE,
+    )
+
+
+# CJK ranges of transformers BasicTokenizer._is_chinese_char: the
+# reference env pins transformers==4.19.2 WITHOUT ftfy
+# (environment.yaml:23), so its CLIPTokenizer._tokenize takes the
+# BasicTokenizer fallback, which space-pads each CJK char into its own
+# word before the BPE word regex runs. Reproduce that here for id parity.
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
 )
+
+
+def _space_cjk(text: str) -> str:
+    if all(ord(c) < 0x3400 for c in text):  # fast path: no CJK
+        return text
+    return "".join(
+        f" {c} " if any(a <= ord(c) <= b for a, b in _CJK_RANGES) else c
+        for c in text)
 
 
 def _basic_clean(text: str) -> str:
     text = html.unescape(html.unescape(text))
+    text = _space_cjk(text)
     return re.sub(r"\s+", " ", text).strip().lower()
 
 

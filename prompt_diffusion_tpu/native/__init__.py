@@ -53,7 +53,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.pd_decode_resize_batch.argtypes = [
                     ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-                    ctypes.c_int,
+                    ctypes.c_int, ctypes.POINTER(ctypes.c_int),
                 ]
             globals()["_lib"] = lib
     return _lib
@@ -81,13 +81,18 @@ def load_batch(
     n = len(paths)
     out = np.empty((n, res, res, 3), np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    flags = np.zeros(n, np.int32)
     rc = lib.pd_decode_resize_batch(
         arr, n, res, int(to_m11),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
-        int(dct_scale),
+        int(dct_scale), flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     if rc != 0:
-        raise IOError(f"native decode failed for {paths[rc - 1]!r}")
+        # per-file PIL fallback: formats the native decoder doesn't speak
+        # (e.g. WebP/BMP bytes behind a .jpg name — PIL sniffs content).
+        # Genuinely corrupt files raise from PIL with the file name.
+        bad = np.nonzero(flags)[0]
+        out[bad] = _load_batch_pil([paths[i] for i in bad], res, to_m11)
     return out
 
 

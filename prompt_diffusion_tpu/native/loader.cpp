@@ -222,20 +222,26 @@ extern "C" {
 
 // Decode n images into out (n, res, res, 3) float32.
 // Returns 0 on success, or 1-based index of the first failed file.
+// A failed file no longer aborts the batch: the slot is flagged in
+// fail_flags (when non-null) and every other file still decodes, so the
+// Python side can retry just the failures through PIL (which sniffs
+// formats — e.g. WebP bytes behind a .jpg name, common in web scrapes).
+// Returns the number of failures (0 = clean batch).
 int pd_decode_resize_batch(const char** paths, int n, int res, int to_m11,
-                           float* out, int n_threads, int dct_scale) {
+                           float* out, int n_threads, int dct_scale,
+                           int* fail_flags) {
     if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
     std::atomic<int> next(0);
-    std::atomic<int> failed(0);
+    std::atomic<int> nfail(0);
     auto worker = [&] {
         for (;;) {
             int i = next.fetch_add(1);
-            if (i >= n || failed.load()) return;
+            if (i >= n) return;
             Image img;
             if (!decode_file(paths[i], &img, dct_scale ? res : 0)) {
-                int expected = 0;
-                failed.compare_exchange_strong(expected, i + 1);
-                return;
+                nfail.fetch_add(1);
+                if (fail_flags) fail_flags[i] = 1;
+                continue;
             }
             resize_normalize(img, res, to_m11 != 0,
                              out + size_t(i) * res * res * 3);
@@ -246,9 +252,9 @@ int pd_decode_resize_batch(const char** paths, int n, int res, int to_m11,
     threads.reserve(nt);
     for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
     for (auto& t : threads) t.join();
-    return failed.load();
+    return nfail.load();
 }
 
-int pd_loader_version() { return 1; }
+int pd_loader_version() { return 2; }
 
 }  // extern "C"

@@ -31,3 +31,18 @@ def ema_update(state: EMAState, new_params, decay: float = 0.9999) -> EMAState:
         lambda e, p: e - (1.0 - d) * (e - p.astype(e.dtype)), state.params, new_params
     )
     return EMAState(params=upd, count=count)
+
+
+def ema_update_every(state: EMAState, new_params, decay: float,
+                     step, every: int) -> EMAState:
+    """LitEma parity under gradient accumulation: the reference updates
+    the EMA once per OPTIMIZER step (on_train_batch_end after the
+    accumulated step), and with optax.MultiSteps the params only change
+    every `every` micro-steps — so the decay/warmup count must only
+    advance then, not every micro-step."""
+    if every <= 1:
+        return ema_update(state, new_params, decay)
+    new = ema_update(state, new_params, decay)
+    apply = (step + 1) % every == 0
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(apply, n, o), new, state)

@@ -16,17 +16,22 @@ def lambda_linear(
     f_start: float = 1e-6,
     f_max: float = 1.0,
     f_min: float = 1.0,
+    cycle_length: float = 1e13,
 ) -> optax.Schedule:
-    """f ramps f_start→f_max over warmup, then linearly decays f_max→f_min
-    over the cycle (cycle effectively infinite in the PD config)."""
+    """f ramps f_start→f_max over warmup, then decays linearly toward
+    f_min over the cycle: f = f_min + (f_max-f_min)·(L-n)/L, exactly
+    LambdaLinearScheduler (ldm/lr_scheduler.py:92-97). The PD config's
+    single cycle has f_min == f_max and L = 1e13, making the decay a
+    constant — but a non-trivial f_min must actually decay."""
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
+        decay = f_min + (f_max - f_min) * (cycle_length - step) / cycle_length
         if warm_up_steps > 0:
             warm = f_start + (f_max - f_start) * step / warm_up_steps
-            f = jnp.where(step < warm_up_steps, warm, f_max)
+            f = jnp.where(step < warm_up_steps, warm, decay)
         else:
-            f = jnp.full_like(step, f_max)
+            f = decay
         return base_lr * f
 
     return schedule

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import optax
 
 from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import PromptDiffusionSD15
-from prompt_diffusion_tpu.training.ema import EMAState, ema_init, ema_update
+from prompt_diffusion_tpu.training.ema import (EMAState, ema_init, ema_update,
+                                                ema_update_every)
 
 
 class TrainState(NamedTuple):
@@ -93,7 +94,13 @@ def make_optimizer(cfg: SD15TrainConfig, trainable_template) -> optax.GradientTr
             "controlnet": jax.tree_util.tree_map(lambda _: True, trainable_template["controlnet"]),
             "unet": _unet_decoder_mask(trainable_template["unet"]),
         }
-        tx = optax.masked(tx, mask)
+        # optax.masked passes the RAW gradient through for mask-False
+        # leaves (it does not zero them) — the frozen UNet encoder must
+        # get an explicit zero update, matching the reference where those
+        # params are simply absent from the optimizer (cldm.py:459-461).
+        neg = jax.tree_util.tree_map(lambda b: not b, mask)
+        tx = optax.chain(optax.masked(tx, mask),
+                         optax.masked(optax.set_to_zero(), neg))
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx
@@ -184,11 +191,15 @@ def make_train_step(pipe: PromptDiffusionSD15, cfg: SD15TrainConfig, tx, mesh=No
         loss, grads = jax.value_and_grad(loss_fn)(state.trainable, frozen, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
-        ema = ema_update(state.ema, trainable, cfg.ema_decay) if state.ema is not None else None
+        ema = (ema_update_every(state.ema, trainable, cfg.ema_decay,
+                                state.step, cfg.accum_steps)
+               if state.ema is not None else None)
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
-            "lr": lr_schedule(cfg)(state.step),
+            # MultiSteps advances the inner schedule once per accum_steps
+            # micro-steps — report the LR actually applied
+            "lr": lr_schedule(cfg)(state.step // cfg.accum_steps),
             "step": state.step,
         }
         return TrainState(state.step + 1, trainable, opt_state, ema), metrics

@@ -28,7 +28,8 @@ from prompt_diffusion_tpu.schedulers.flow_match import (
     FlowMatchSchedule,
     logit_normal_timestep_density,
 )
-from prompt_diffusion_tpu.training.ema import EMAState, ema_init, ema_update
+from prompt_diffusion_tpu.training.ema import (EMAState, ema_init, ema_update,
+                                                ema_update_every)
 
 
 class SD3TrainState(NamedTuple):
@@ -146,7 +147,9 @@ def make_sd3_train_step(pipe: PromptDiffusionSD3, cfg: SD3TrainConfig, tx, mesh=
         loss, grads = jax.value_and_grad(loss_fn)(state.trainable, frozen, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
-        ema = ema_update(state.ema, trainable, cfg.ema_decay) if state.ema is not None else None
+        ema = (ema_update_every(state.ema, trainable, cfg.ema_decay,
+                                state.step, cfg.accum_steps)
+               if state.ema is not None else None)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), "step": state.step}
         return SD3TrainState(state.step + 1, trainable, opt_state, ema), metrics
 

@@ -78,6 +78,23 @@ def test_batch_loader_sharding(fake_root):
     assert not np.array_equal(b0["image"], b1["image"])
 
 
+def test_batch_loader_shards_are_disjoint_and_cover(fake_root):
+    """DistributedSampler contract: the per-epoch shard index sets must
+    partition the (shared) permutation — no sample on two shards, and
+    together the shards cover the dataset. (A shard-dependent permutation
+    seed silently duplicates ~half the samples across hosts.)"""
+    from prompt_diffusion_tpu.data.edit_dataset import shard_order
+
+    ds = EditDataset(fake_root, task_list=("canny",), resolution=32, splits=(1.0, 0.0))
+    n = len(ds)
+    for epoch in (0, 1):
+        shards = [set(shard_order(n, 0, epoch, sid, 2).tolist()) for sid in (0, 1)]
+        assert shards[0] & shards[1] == set(), "shards overlap"
+        assert shards[0] | shards[1] == set(range(n)), "shards must cover the dataset"
+    # different epochs reshuffle
+    assert list(shard_order(n, 0, 0, 0, 2)) != list(shard_order(n, 0, 1, 0, 2))
+
+
 def test_laion_meta_dataset(fake_root):
     path = os.path.join(fake_root, "laion_nonhuman")
     ds = LaionMetaDataset(path, tasks=("canny", "hed"), tasks_per_batch=2, res=32, shots=1)

@@ -70,3 +70,24 @@ def test_pil_fallback(images):
     paths, _ = images
     out = _load_batch_pil(paths, 128, False)
     assert out.shape == (3, 128, 128, 3)
+
+
+@pytest.mark.skipif(not native_available(), reason="native loader unavailable")
+def test_per_file_pil_fallback_in_batch(images):
+    """A format the native decoder doesn't speak hiding behind a .jpg
+    name (BMP here — web scrapes are full of mislabeled files) must fall
+    back to PIL for THAT file only, not abort the batch."""
+    import tempfile
+
+    paths, _ = images
+    rng = np.random.default_rng(3)
+    img = (rng.random((96, 80, 3)) * 255).astype(np.uint8)
+    p = os.path.join(tempfile.mkdtemp(), "mislabeled.jpg")
+    Image.fromarray(img).save(p, format="BMP")  # BMP bytes, .jpg name
+    batch = [paths[0], p, paths[1]]
+    out = load_batch(batch, 64)
+    ref = _load_batch_pil(batch, 64, False)
+    assert out.shape == (3, 64, 64, 3)
+    # the mislabeled slot comes from PIL → exactly equal to the PIL ref
+    np.testing.assert_allclose(out[1], ref[1], atol=1e-6)
+    assert np.isfinite(out).all()

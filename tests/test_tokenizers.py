@@ -192,6 +192,8 @@ def test_clip_bpe_matches_transformers(clip_assets):
         "CAT ON MAT",  # lowercasing
         "a  cat   sat",  # whitespace
         "catsat",  # merge boundaries inside an unknown-ish word
+        "café in münchen",  # non-ASCII letters must stay in the WORD branch
+        "日本 cat",  # CJK through the byte-level encoder
         "",
     ]
     for p in prompts:

@@ -172,7 +172,7 @@ def main(argv=None):
             print(f"step {step} loss {loss:.4f} ({dt:.2f}s/50 steps)")
             mlog.log(step, metrics)
         ckpt.save_state(manager, step, state)  # gated by save_interval_steps
-        if step % args.image_log_every == 0:
+        if args.image_log_every > 0 and step % args.image_log_every == 0:
             sample_params = {**frozen, "controlnet": state.trainable["controlnet"]}
             if "unet" in state.trainable:
                 sample_params["unet"] = state.trainable["unet"]
