@@ -120,7 +120,6 @@ def compute_stats_sharded(
     feature_fn: Callable[[jnp.ndarray], jnp.ndarray],
     images: np.ndarray,
     mesh,
-    feature_dim: int,
 ) -> FeatureStats:
     """Multi-device feature pass: batch sharded over every mesh axis, each
     device computes its shard's (Σx, Σxxᵀ, n), reduced in-graph with
@@ -245,6 +244,8 @@ def main():
         "all_reduce); multi-host works after jax.distributed.initialize()",
     )
     args = p.parse_args()
+    if args.mode == "calc" and not args.ref:
+        p.error("calc mode requires --ref (run `ref` mode first)")
 
     feature_fn, dim = _default_feature_fn()
     mesh = None

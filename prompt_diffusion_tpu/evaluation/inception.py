@@ -159,7 +159,13 @@ class InceptionV3(nn.Module):
     def __call__(self, x):
         b = x.shape[0]
         if x.shape[1] != 299 or x.shape[2] != 299:
-            x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear")
+            # antialias=False: pytorch-fid resizes with plain
+            # F.interpolate(mode='bilinear', align_corners=False) — FID is
+            # sensitive to the resize kernel, and jax's default antialias
+            # would put our numbers on a different scale than
+            # reference-computed ones
+            x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear",
+                                 antialias=False)
         x = x * 2.0 - 1.0
         x = ConvBN(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
         x = ConvBN(32, (3, 3), name="Conv2d_2a_3x3")(x)

@@ -16,7 +16,6 @@ as a 2B double-batch exactly like the reference
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
@@ -26,7 +25,7 @@ from prompt_diffusion_tpu.models.clip_text import CLIPTextModel
 from prompt_diffusion_tpu.models.controlnet_sd15 import ControlNetSD15
 from prompt_diffusion_tpu.models.unet_sd15 import UNetSD15
 from prompt_diffusion_tpu.models.vae import AutoencoderKL
-from prompt_diffusion_tpu.schedulers.ddim import DDIMTables, ddim_step
+from prompt_diffusion_tpu.schedulers.ddim import DDIMTables, ddim_sample_loop
 from prompt_diffusion_tpu.schedulers.schedules import DiffusionSchedule
 
 
@@ -260,23 +259,13 @@ class PromptDiffusionSD15:
             # batcher (batch composition must not change a request's image)
             x = init_noise.astype(jnp.float32)
 
-        stochastic = eta > 0.0
-
-        def body(carry, i):
-            x, key = carry
-            index = num_steps - 1 - i
-            t = tables.timesteps[index]
-            t_b = jnp.full((b,), t, dtype=jnp.int32)
-            eps = eps_fn(x, t_b)
-            if stochastic:
-                key, sub = jax.random.split(key)
-                noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
-            else:
-                noise = None
-            x_prev, _ = ddim_step(x, eps, index, tables, noise=noise)
-            return (x_prev, key), None
-
-        (x, _), _ = jax.lax.scan(body, (x, loop_rng), jnp.arange(num_steps))
+        # ddim_sample_loop runs ALL tables.num_steps entries — which can
+        # exceed num_steps when 1000 % num_steps != 0 (e.g. 30 → 31
+        # entries; the reference iterates the full table,
+        # ddim_hacked.py:145) — and matches the reference's stochastic
+        # noise handling when eta > 0.
+        x = ddim_sample_loop(eps_fn, x, tables,
+                             rng=loop_rng if eta > 0.0 else None)
         return self.decode_latents(params, x)
 
     def jit_generate(self, donate: bool = False):
@@ -284,10 +273,13 @@ class PromptDiffusionSD15:
 
         guidance_scale / control_scale fold fine as traced scalars — a CFG
         or strength change must NOT pay a recompile (the reference changes
-        them per request, notebook cell 5)."""
+        them per request, notebook cell 5). `donate=True` donates the
+        caller-supplied init_noise buffer (the only argument safe to
+        donate — params are reused across calls)."""
         return jax.jit(
-            functools.partial(self.generate),
+            self.generate,
             static_argnames=("num_steps", "eta", "guess_mode"),
+            donate_argnames=("init_noise",) if donate else (),
         )
 
     # ---- init -------------------------------------------------------------

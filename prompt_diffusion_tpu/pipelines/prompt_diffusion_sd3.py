@@ -211,8 +211,6 @@ class PromptDiffusionSD3:
         return self.decode_latents(params, x)
 
     def jit_generate(self):
-        import functools
-
         # guidance/conditioning scales are traced — changing them must not
         # recompile; num_steps shapes the scan and shift feeds the host-side
         # sigma table, so those stay static.

@@ -163,10 +163,21 @@ def dpm_solver_pp_2m_loop(
         x0 = (x - s_s * eps) / a_s
 
         h = l_t - l_s
-        h_prev = l_s - tables.lam[jnp.maximum(i - 1, 0)]
+        # clamp like dpm_solver_multistep_loop: at i=0 the clamped index
+        # gives h_prev=0 → 1/(2r)=inf and NaN in the unselected branch,
+        # which aborts jax.debug_nans runs
+        tiny = jnp.asarray(1e-12, l_s.dtype)
+        h_prev = jnp.maximum(l_s - tables.lam[jnp.maximum(i - 1, 0)], tiny)
         r = h_prev / h
         D_2m = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * x0_prev
-        D = jnp.where(has_prev, D_2m, x0)
+        use_2m = has_prev
+        if S < 15:
+            # diffusers lower_order_final: the final step drops to order 1
+            # for short schedules (same rule as _order_schedule) — the 2M
+            # extrapolation over the largest-h last interval is the known
+            # artifact case
+            use_2m = use_2m & (i != S - 1)
+        D = jnp.where(use_2m, D_2m, x0)
         x_next = (s_t / s_s) * x - a_t * jnp.expm1(-h) * D
         return (x_next, x0, jnp.bool_(True)), None
 

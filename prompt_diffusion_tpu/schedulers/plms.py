@@ -60,7 +60,10 @@ def plms_sample_loop(
             return (e_t + e_t_next) / 2
 
         def multistep(_):
-            return combine(e_t, (e1, e2, e3), n_hist - 1)
+            # n_hist == len(old_eps): 1 history ε → 2nd-order AB
+            # (plms.py:232-234) — NOT n_hist-1, which would run every
+            # step one order lower than the reference
+            return combine(e_t, (e1, e2, e3), n_hist)
 
         e_prime = jax.lax.cond(n_hist == 0, first_step, multistep, None)
         x_prev, _ = ddim_step(x, e_prime, index, tables)

@@ -230,3 +230,18 @@ def test_inception_parity_with_upsample(pair):
         ref = fix(xt).numpy()
     ours = np.asarray(InceptionV3().apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_inception_parity_with_downsample(pair):
+    """512²-style DOWNSCALE (the real generated-image path): jax's
+    default antialias=True diverges from pytorch-fid's plain
+    F.interpolate here — the model must use antialias=False."""
+    fix, params = pair
+    x = np.random.default_rng(2).uniform(0, 1, (2, 384, 384, 3)).astype(np.float32)
+    xt = torch.tensor(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        xt = F.interpolate(xt, size=(299, 299), mode="bilinear", align_corners=False)
+        ref = fix(xt).numpy()
+    ours = np.asarray(InceptionV3().apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=2e-3)

@@ -235,7 +235,7 @@ def test_fid_psum_matches_single_process():
 
     single = compute_stats_from_iterator(
         feature_fn, iter([imgs[:40], imgs[40:]]), dim)
-    sharded = compute_stats_sharded(feature_fn, imgs, mesh, dim)
+    sharded = compute_stats_sharded(feature_fn, imgs, mesh)
 
     assert sharded.count == single.count == 64
     np.testing.assert_allclose(sharded.raw_sum, single.raw_sum, rtol=1e-5)
