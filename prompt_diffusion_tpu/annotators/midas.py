@@ -424,6 +424,17 @@ def depth_to_normals(depth: jnp.ndarray, a: float = 2 * np.pi, bg_th: float = 0.
     return depth01, jnp.clip(normal * 0.5 + 0.5, 0.0, 1.0)
 
 
+def convt_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) → flax ConvTranspose
+    kernel (kh, kw, in, out) WITH a spatial flip: flax/lax conv_transpose
+    (transpose_kernel=False) does NOT reverse the spatial axes, while
+    torch's gradient-derived ConvTranspose2d does — an unflipped import
+    mirrors every stride-sized upsample block (verified empirically:
+    flipped import is bit-exact vs torch, unflipped is not —
+    tests/test_midas.py::test_convtranspose_import_matches_torch)."""
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
 def import_dpt_checkpoint(path: str, cfg: DPTConfig = DPTConfig()) -> dict:
     """Official dpt_large-midas OR dpt_hybrid-midas checkpoint → flax
     params (variant sniffed from the backbone key scheme)."""
@@ -435,6 +446,7 @@ def import_dpt_checkpoint(path: str, cfg: DPTConfig = DPTConfig()) -> dict:
         return _import_dpt_hybrid(sd)
     conv = lambda w: w.transpose(2, 3, 1, 0)
     lin = lambda w: w.T
+    convt = convt_kernel  # ConvTranspose needs the spatial flip, see its doc
     p: dict = {
         "patch_embed": {"kernel": conv(sd["pretrained.model.patch_embed.proj.weight"]),
                         "bias": sd["pretrained.model.patch_embed.proj.bias"]},
@@ -459,9 +471,8 @@ def import_dpt_checkpoint(path: str, cfg: DPTConfig = DPTConfig()) -> dict:
                                      "bias": sd[f"{act}.3.bias"]}
         if s in (0, 1, 3):
             w = sd[f"{act}.4.weight"]
-            # ConvTranspose in torch: (in, out, kh, kw) → flax (kh, kw, in, out);
-            # plain conv (stage 3): (out, in, kh, kw)
-            kern = w.transpose(2, 3, 0, 1) if s in (0, 1) else conv(w)
+            # resample 0/1 are ConvTranspose (stage 3 is a plain conv)
+            kern = convt(w) if s in (0, 1) else conv(w)
             p[f"resample_{s}"] = {"kernel": kern, "bias": sd[f"{act}.4.bias"]}
         p[f"scratch_rn_{s}"] = {"kernel": conv(sd[f"scratch.layer{s + 1}_rn.weight"])}
     for rn in range(1, 5):

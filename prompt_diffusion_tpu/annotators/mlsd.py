@@ -165,13 +165,15 @@ class MLSDNet(nn.Module):
 
 
 def decode_lines(out: np.ndarray, score_thr: float = 0.10, dist_thr: float = 20.0,
-                 topk: int = 200, ksize: int = 5) -> np.ndarray:
+                 topk: int = 200, ksize: int = 3) -> np.ndarray:
     """utils.py pred_lines decode on one (H,W,9) output → (N,4) segments in
-    the output-map coordinate frame ×2 (the model halves resolution)."""
+    the output-map coordinate frame ×2 (the model halves resolution).
+    ksize=3: pred_lines calls deccode_output_score_and_ptss(outputs, 200, 3)
+    (utils.py:63), not the deccode function's own default of 5."""
     center = out[..., 0]
     disp = out[..., 1:5]
     heat = 1.0 / (1.0 + np.exp(-center))
-    # 5×5 NMS
+    # ksize NMS (3 — see docstring)
     from scipy.ndimage import maximum_filter
 
     keep = maximum_filter(heat, size=ksize, mode="constant") == heat
@@ -206,7 +208,11 @@ class MLSDdetector:
         inp = np.concatenate([resized, np.ones((512, 512, 1))], axis=-1)
         inp = inp.astype(np.float32) / 127.5 - 1.0
         out = np.asarray(self._fwd(self.params, jnp.asarray(inp[None])))[0]
-        lines = decode_lines(out, thr_v, thr_d * 100)  # dist in output px
+        # thr_d passes through UNCHANGED (reference __init__.py:33 →
+        # pred_lines(..., thr_v, thr_d) → `distance > dist_thr` in output
+        # px, utils.py:72 — the gradio default 0.1 keeps nearly all
+        # candidates, it is NOT a [0,1] fraction to rescale)
+        lines = decode_lines(out, thr_v, thr_d)
         canvas = np.zeros((h, w, 3), np.uint8)
         for x0, y0, x1, y1 in lines:
             cv2.line(canvas,

@@ -274,7 +274,9 @@ def assemble_people(all_peaks, connection_all, special_k):
                     subset[j1][indexB] = pb
                     subset[j1][-1] += 1
                     subset[j1][-2] += candidate[int(pb), 2] + score
-            elif k < 17:
+            elif not found and k < 17:
+                # body.py:193 — a peak already present in 3+ subset rows
+                # must NOT spawn a phantom 2-part person
                 row = -1 * np.ones(20)
                 row[indexA], row[indexB] = pa, pb
                 row[-1] = 2
@@ -332,7 +334,9 @@ class OpenposeDetector:
     def __call__(self, image_u8: np.ndarray):
         assert image_u8.ndim == 3
         h, w = image_u8.shape[:2]
-        bgr = image_u8[:, :, ::-1].astype(np.float32) / 255.0 - 0.5
+        # /256 (not 255): body.py:40 normalizes with `/ 256 - 0.5` — the
+        # imported CPM weights expect that exact scaling
+        bgr = image_u8[:, :, ::-1].astype(np.float32) / 256.0 - 0.5
         paf, heat = self._fwd(self.body_params, jnp.asarray(bgr[None]))
         paf = np.asarray(jax.image.resize(paf[0], (h, w, 38), "bilinear"))
         heat = np.asarray(jax.image.resize(heat[0], (h, w, 19), "bilinear"))

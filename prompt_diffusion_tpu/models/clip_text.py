@@ -34,6 +34,7 @@ class CLIPTextConfig:
     layer_norm_eps: float = 1e-5
     # "quick_gelu" for CLIP-L (SD1.5); "gelu" for OpenCLIP bigG (SD3's 2nd encoder)
     activation: str = "quick_gelu"
+    eot_token_id: int = 49407  # pooled-output anchor (HF eos_token_id)
 
 
 def _act(name: str):
@@ -119,8 +120,13 @@ class CLIPTextModel(nn.Module):
         final = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.policy.norm_dtype,
                              param_dtype=jnp.float32, name="final_layer_norm")(x)
         final = final.astype(jnp.float32)
-        # pooled = hidden state at the eot token (highest token id position)
-        eot_idx = jnp.argmax(input_ids, axis=-1)
+        # pooled = hidden state at the FIRST eot token. Matching the id
+        # (not argmax of the raw ids): textual-inversion placeholder ids
+        # sit ABOVE the eot id (tools/loaders appends them at 49408+), so
+        # the legacy argmax picks the TI token's position instead — the
+        # same bug HF fixed by matching eos_token_id.
+        eot_idx = jnp.argmax((input_ids == cfg.eot_token_id).astype(jnp.int32),
+                             axis=-1)
         pooled = final[jnp.arange(b), eot_idx]
         return {
             "last_hidden_state": final,

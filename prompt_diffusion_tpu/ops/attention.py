@@ -43,6 +43,11 @@ def dot_product_attention(
     if use_flash is None:
         use_flash = _flash_eligible(q, k, mask)
     if use_flash:
+        if mask is not None:
+            raise ValueError(
+                "use_flash=True with a mask: the flash kernel has no mask "
+                "support — drop use_flash (auto-select routes masked "
+                "attention to the einsum path) or drop the mask")
         from prompt_diffusion_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

@@ -28,27 +28,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from prompt_diffusion_tpu.ops.fused_layer_norm import row_block8
+from prompt_diffusion_tpu.ops.fused_layer_norm import row_block8, rowquant
 
 # Test hook: when True, the Pallas path runs in interpret mode even on CPU.
 _FORCE_INTERPRET = False
 
 
-def _rowquant(h):
-    """fp32 (rb, C) → (int8, (rb, 1) fp32 scales)."""
-    s_a = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
-    return jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8), s_a
 
 
 def _gelu_quant_kernel(x_ref, oq_ref, os_ref):
     h = jax.nn.gelu(x_ref[...].astype(jnp.float32), approximate=True)
-    oq, s_a = _rowquant(h)
+    oq, s_a = rowquant(h)
     oq_ref[...] = oq
     os_ref[...] = s_a
 
 
 def _quant_rows_kernel(x_ref, oq_ref, os_ref):
-    oq, s_a = _rowquant(x_ref[...].astype(jnp.float32))
+    oq, s_a = rowquant(x_ref[...].astype(jnp.float32))
     oq_ref[...] = oq
     os_ref[...] = s_a
 
@@ -60,7 +56,7 @@ def _jnp_fallback(x, act):
     elif act == "geglu":
         inner = h.shape[-1] // 2
         h = h[..., :inner] * jax.nn.gelu(h[..., inner:], approximate=False)
-    return _rowquant(h)
+    return rowquant(h)
 
 
 def _run(x, kernel, act, out_width=None):
@@ -122,7 +118,7 @@ def _geglu_quant_kernel(x_ref, oq_ref, os_ref):
     x = x_ref[...].astype(jnp.float32)  # (rb, 2·I): [h | gate]
     inner = x.shape[-1] // 2
     h = x[:, :inner] * jax.nn.gelu(x[:, inner:], approximate=False)
-    oq, s_a = _rowquant(h)
+    oq, s_a = rowquant(h)
     oq_ref[...] = oq
     os_ref[...] = s_a
 

@@ -56,8 +56,8 @@ def _adaln_quant_kernel(x_ref, s_ref, t_ref, oq_ref, os_ref, *, eps):
     h = (xf - mean) * jax.lax.rsqrt(var + eps)
     h = h * (1.0 + s_ref[0, 0][None, :].astype(jnp.float32)) \
         + t_ref[0, 0][None, :].astype(jnp.float32)
-    s_a = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
-    oq_ref[0] = jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8)
+    oq, s_a = rowquant(h)
+    oq_ref[0] = oq
     os_ref[0] = s_a  # (rb, 1)
 
 
@@ -65,7 +65,7 @@ def _adaln_quant_kernel(x_ref, s_ref, t_ref, oq_ref, os_ref, *, eps):
 # N=154 or 333 — no multiple-of-8 divisor exists unpadded, and falling back
 # to the jnp path there would reintroduce the amax pass + HBM round-trip
 # this kernel exists to kill), then blocked with the shared picker.
-from prompt_diffusion_tpu.ops.fused_layer_norm import row_block8
+from prompt_diffusion_tpu.ops.fused_layer_norm import row_block8, rowquant
 
 # Test hook: when True, the Pallas path runs in interpret mode even on CPU
 # (exercises the row-padding/grid logic without a TPU).
@@ -143,9 +143,7 @@ def fused_adaln_quant(x, scale, shift, eps: float = 1e-6):
     b, n, c, s2, t2 = _prep(x, scale, shift)
     if jax.default_backend() == "cpu" and not _FORCE_INTERPRET:
         h = _jnp_adaln(x, scale.reshape(b, 1, c), shift.reshape(b, 1, c), eps)
-        s_a = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
-        oq = jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8)
-        return oq, s_a
+        return rowquant(h)
     xp, np8 = _pad_rows(x, n)
     rb = row_block8(np8, c, x.dtype.itemsize)
     oq, s_a = pl.pallas_call(

@@ -87,7 +87,11 @@ def fused_group_norm_quant(x, scale, bias, num_groups: int, eps: float = 1e-5,
     Inference-only (no VJP); row must fit one VMEM block. CPU falls back to
     jnp + explicit quantization (tests)."""
     b, h, w, c = x.shape
-    if jax.default_backend() == "cpu" or h * w * c * 2 > 8 * 1024 * 1024:
+    # use the REAL itemsize (like _forward): a fp32 activation at a
+    # 2-byte-accounted size between 4 and 8 MB would pass the gate but
+    # double the actual VMEM block
+    if (jax.default_backend() == "cpu"
+            or h * w * c * x.dtype.itemsize > 8 * 1024 * 1024):
         out = _jnp_group_norm(x, num_groups, scale, bias, eps=eps,
                               apply_silu=apply_silu).astype(jnp.float32)
         amax = jnp.max(jnp.abs(out), axis=(1, 2, 3))

@@ -25,6 +25,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def rowquant(h):
+    """fp32 (..., C) → (int8, (..., 1) fp32 scales): symmetric per-row
+    int8 quantization — the ONE quant epilogue shared by every fused
+    kernel (LN / AdaLN / GELU / GEGLU row variants). A change to the
+    clamp epsilon or clip range happens here and nowhere else."""
+    s_a = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-8)
+    return jnp.clip(jnp.round(h / s_a), -127, 127).astype(jnp.int8), s_a
+
+
 def _jnp_layer_norm(x, scale, bias, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -122,8 +131,8 @@ def _ln_quant_kernel(x_ref, scale_ref, bias_ref, oq_ref, os_ref, *, eps: float):
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     out = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = out * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
-    s_a = jnp.maximum(jnp.max(jnp.abs(out), axis=-1, keepdims=True) / 127.0, 1e-8)
-    oq_ref[...] = jnp.clip(jnp.round(out / s_a), -127, 127).astype(jnp.int8)
+    oq, s_a = rowquant(out)
+    oq_ref[...] = oq
     os_ref[...] = s_a  # (rb, 1)
 
 
@@ -137,9 +146,7 @@ def fused_layer_norm_quant(x, scale, bias, eps: float = 1e-5):
         n *= d
     if jax.default_backend() == "cpu":
         out = _jnp_layer_norm(x, scale, bias, eps).astype(jnp.float32)
-        s_a = jnp.maximum(jnp.max(jnp.abs(out), axis=-1, keepdims=True) / 127.0, 1e-8)
-        oq = jnp.clip(jnp.round(out / s_a), -127, 127).astype(jnp.int8)
-        return oq, s_a
+        return rowquant(out)
     x2 = x.reshape(n, c)
     # the (rb, 1) scale output tiles need rb % 8 == 0; pad the row count up
     # to a multiple of 8 so such an rb always exists, then step rb DOWN in

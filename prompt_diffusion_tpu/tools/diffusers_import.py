@@ -200,14 +200,20 @@ def diffusers_vae_rules(ch_mult=(1, 2, 4, 4), num_res_blocks=2):
 def _vae_attention(out: dict, sd: Dict[str, np.ndarray], side: str):
     """diffusers Linear attention → our 1×1-conv VAEAttnBlock params."""
     tp = f"{side}.mid_block.attentions.0"
-    names = {"to_q": "q", "to_k": "k", "to_v": "v", "to_out.0": "proj_out"}
-    if f"{tp}.group_norm.weight" not in sd:
-        return
+    if f"{tp}.to_q.weight" in sd:  # diffusers >= 0.18 Attention
+        names = {"to_q": "q", "to_k": "k", "to_v": "v", "to_out.0": "proj_out"}
+    elif f"{tp}.query.weight" in sd:  # diffusers <= 0.17 AttentionBlock
+        names = {"query": "q", "key": "k", "value": "v", "proj_attn": "proj_out"}
+    else:
+        raise KeyError(
+            f"unrecognized VAE attention key scheme under '{tp}.*' — "
+            "expected to_q/... (diffusers>=0.18) or query/... (<=0.17); "
+            f"sample keys: {[k for k in sd if k.startswith(tp)][:4]}")
     _set(out, f"{side}/mid_attn_1/norm", "scale", sd[f"{tp}.group_norm.weight"])
     _set(out, f"{side}/mid_attn_1/norm", "bias", sd[f"{tp}.group_norm.bias"])
     for tname, fname in names.items():
-        w = sd[f"{tp}.{tname}.weight"]  # (C, C) linear
-        kern = w.T[None, None]  # → (1, 1, C_in, C_out)
+        w = sd[f"{tp}.{tname}.weight"]  # (C, C) linear (possibly (C,C,1,1) conv)
+        kern = w.reshape(w.shape[0], w.shape[1]).T[None, None]  # (1,1,Cin,Cout)
         _set(out, f"{side}/mid_attn_1/{fname}", "kernel", kern)
         _set(out, f"{side}/mid_attn_1/{fname}", "bias", sd[f"{tp}.{tname}.bias"])
 

@@ -29,6 +29,29 @@ def test_dpt_depth_shapes():
     assert float(depth.min()) >= 0.0  # relu'd inverse depth
 
 
+def test_convtranspose_import_matches_torch():
+    """The reassemble resample_0/1 stages are torch ConvTranspose2d;
+    their flax import must include the spatial kernel flip (flax does not
+    reverse spatial axes, torch does) — elementwise parity on random
+    weights, the exact path real dpt_large checkpoints take."""
+    import flax.linen as fnn
+    import torch
+
+    from prompt_diffusion_tpu.annotators.midas import convt_kernel
+
+    t = torch.nn.ConvTranspose2d(6, 10, 4, stride=4)
+    x = torch.randn(2, 6, 8, 8)
+    with torch.no_grad():
+        ref = t(x).numpy()
+    m = fnn.ConvTranspose(features=10, kernel_size=(4, 4), strides=(4, 4))
+    params = {"params": {
+        "kernel": jnp.asarray(convt_kernel(t.weight.detach().numpy())),
+        "bias": jnp.asarray(t.bias.detach().numpy())}}
+    out = np.asarray(m.apply(params, jnp.asarray(
+        x.numpy().transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_resize_align_corners_matches_torch():
     torch = pytest.importorskip("torch")
     rng = np.random.default_rng(0)

@@ -58,6 +58,28 @@ def test_clip_shapes(clip):
     assert out["pooled"].shape == (2, 64)
 
 
+def test_clip_pooled_anchors_on_first_eot(clip):
+    """pooled must come from the FIRST eot position by ID MATCH, not
+    argmax of the raw ids — textual-inversion placeholder ids sit above
+    the eot id and would hijack an argmax (the HF eos_token_id fix)."""
+    model, params, cfg = clip
+    eot = 500
+    cfg2 = CLIPTextConfig(vocab_size=1000, hidden_size=64, num_layers=2,
+                          num_heads=4, intermediate_size=128, eot_token_id=eot)
+    model2 = CLIPTextModel(config=cfg2, policy=fp32_policy())
+    ids = np.full((1, 77), 7, np.int32)
+    ids[0, 3] = 999  # "TI token": id ABOVE eot
+    ids[0, 5] = eot  # first eot
+    ids[0, 6:] = eot
+    out = jax.jit(model2.apply)(params, jnp.asarray(ids))
+    # reference anchor: hidden state at position 5 (first eot), not 3
+    np.testing.assert_array_equal(
+        np.asarray(out["pooled"][0]),
+        np.asarray(out["last_hidden_state"][0, 5]))
+    assert not np.array_equal(np.asarray(out["pooled"][0]),
+                              np.asarray(out["last_hidden_state"][0, 3]))
+
+
 def test_clip_causality(clip):
     """Changing a later token must not affect earlier positions (causal mask)."""
     model, params, _ = clip
