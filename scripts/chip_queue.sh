@@ -36,6 +36,9 @@ PD_SD15_FUSED_GEGLU=1 timeout 1800 python bench.py --config sd15 > /tmp/chipq/sd
 #    tighten, but the acceptance bound must be re-demonstrated)
 timeout 3600 python scripts/int8_quality.py --stack sd3 --n 96 > /tmp/chipq/quality_sd3.log 2>&1
 timeout 3600 python scripts/int8_quality.py --stack sd15 --n 256 > /tmp/chipq/quality_sd15.log 2>&1
+# 8b. train-step trace (BASELINE 5 currently has a number but no trace/
+#     SoL story — tools/trace_train.py mirrors the bench config exactly)
+timeout 2400 python tools/trace_train.py > /tmp/chipq/trace_train.log 2>&1
 # 9. int8 conv XSHIFT variant (in-kernel im2col — kills the 3x HBM x3
 #    traffic; bit-exact vs im2col, tests/test_int8_conv.py): probe both
 #    variants, then an end-to-end bench with the variant flipped on
