@@ -110,7 +110,7 @@ def main(argv=None):
             t0 = time.perf_counter()
             mlog.log(step, metrics)
         ckpt.save_state(manager, step, state)
-    ckpt.wait_for_saves(manager)
+    ckpt.save_final(manager, args.max_steps - 1, state)
     print("done")
 
 

@@ -135,8 +135,20 @@ def main():
     else:
         from prompt_diffusion_tpu.data.laion_meta import ControlDataModule
 
+        # partition requested tasks by dataset kind (the reference gates
+        # laion_human on pose/densepose membership) — otherwise human
+        # batches would be conditioned on pose regardless of --tasks
+        human = tuple(t for t in args.tasks if t in ("pose", "densepose"))
+        nonhuman = tuple(t for t in args.tasks if t not in ("pose", "densepose"))
         dm = ControlDataModule(args.data_root, res=args.resolution,
-                               nonhuman_tasks=tuple(args.tasks))
+                               human_tasks=human, nonhuman_tasks=nonhuman)
+        if args.max_batches is None:
+            # the meta loader is an infinite round-robin sampler — default
+            # to ~one pass over the val split instead of running forever
+            total = sum(len(d["val"]) for d in dm.datasets.values())
+            args.max_batches = max(1, total // args.batch_size)
+            print(f"--max-batches not set; defaulting to one val epoch "
+                  f"({args.max_batches} batches)")
         batch_iters = [("meta", iter(dm.loader("val", args.batch_size, seed=args.seed)))]
 
     rank, world = jax.process_index(), jax.process_count()
@@ -150,20 +162,29 @@ def main():
                 break
             if bi % world != rank:
                 continue
+            # conditions stay in [0,1] — the convention BOTH reference
+            # trainers and the diffusers generate flow use (condition
+            # transforms are ToTensor-only, laion_meta_dataset.py:63;
+            # control_image_processor has do_normalize=False,
+            # pipeline_prompt_diffusion.py:236). Support images are [-1,1].
+            # (The reference notebook feeds [-1,1] conditions — its own
+            # train/inference inconsistency; examples/run_prompt_diffusion.py
+            # mirrors the notebook, this driver mirrors the trained-model
+            # convention.)
             if args.dataset == "coco":
-                query = batch["condition"] * 2 - 1
+                query = batch["condition"]
                 # unseen-task eval uses a fixed support from the train set;
                 # here: first item of the batch acts as support for the rest
                 sup_img = batch["image"][:1].repeat(len(batch["image"]), 0)
-                sup_cond = batch["condition"][:1].repeat(len(batch["image"]), 0) * 2 - 1
+                sup_cond = batch["condition"][:1].repeat(len(batch["image"]), 0)
                 prompts = batch["prompt"]
                 names = batch["name"]
             else:
                 # meta batch: images (B, 2*shots, H,W,3); conditions (B,T,2s,...)
                 images = batch["images"]
                 conds = batch["conditions"][:, 0]
-                query = conds[:, 0] * 2 - 1
-                sup_cond = conds[:, 1] * 2 - 1
+                query = conds[:, 0]
+                sup_cond = conds[:, 1]
                 sup_img = images[:, 1]
                 prompts = [p[0] for p in batch["prompts"]]
                 names = [f"b{bi:05d}_{j}" for j in range(len(prompts))]
@@ -179,8 +200,12 @@ def main():
                        num_steps=args.steps, guidance_scale=args.cfg,
                        control_scale=args.control_scale, prompts=list(prompts))
             arr = (np.asarray(imgs) * 255).astype(np.uint8)
+            # per-task subdir: coco multi-task runs reuse per-image names,
+            # so a flat layout would have later tasks overwrite earlier ones
+            task_dir = os.path.join(args.out_dir, task)
+            os.makedirs(task_dir, exist_ok=True)
             for name, im in zip(names, arr):
-                Image.fromarray(im).save(os.path.join(args.out_dir, f"{name}.png"))
+                Image.fromarray(im).save(os.path.join(task_dir, f"{name}.png"))
                 if args.compute_fid:
                     fid_dir = os.path.join(args.out_dir, "fid", task)
                     os.makedirs(fid_dir, exist_ok=True)

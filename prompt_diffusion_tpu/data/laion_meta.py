@@ -77,6 +77,13 @@ class LaionMetaDataset:
             filenames = [filenames[i] for i in indices]
         self.filenames = filenames
         self.num_filegroups = len(filenames) // shots
+        # FIXED grouping (deterministic permutation): `support_idx` must
+        # address the SAME files every draw — the few-shot tuning_loader's
+        # whole protocol is a fixed ≤15-example support set
+        # (finetune_promptdiffusion_sd15.py:739-753). A per-sample
+        # reshuffle here silently widened supports to the full split.
+        # Query/support PAIRING stays random via the caller's rng.
+        self._groups = self._filegroups(np.random.default_rng(0))
 
     def __len__(self) -> int:
         return self.num_filegroups
@@ -90,7 +97,7 @@ class LaionMetaDataset:
         return groups
 
     def sample(self, rng: np.random.Generator, i: int, support_idx: Optional[int] = None) -> dict:
-        groups = self._filegroups(np.random.default_rng(rng.integers(2**31)))
+        groups = self._groups
         i = i % len(groups)
         if support_idx is None:
             sp = rng.integers(len(groups))
@@ -168,7 +175,11 @@ class ControlDataModule:
         self.datasets = {}
         for kind, tasks in (("human", human_tasks), ("nonhuman", nonhuman_tasks)):
             path = os.path.join(root, f"laion_{kind}")
-            if not os.path.isdir(path):
+            # skip kinds with NO requested tasks (reference gates the human
+            # datasets on pose/densepose being in train_tasks,
+            # laion_meta_dataset.py:215-218) — a zero-task dataset would
+            # crash at rng.choice([]) the first time round-robin draws it
+            if not tasks or not os.path.isdir(path):
                 continue
             probe = LaionMetaDataset(path, tasks, tasks_per_batch, res, shots)
             train_idx, val_idx = make_split_indices(len(probe.filenames), val_fraction)
@@ -198,6 +209,12 @@ class _CombinedLoader:
 
     def __init__(self, datasets, batch_size, seed=0, fixed_supports=None):
         self.datasets = [d for d in datasets if len(d) > 0]
+        if not self.datasets:
+            raise ValueError(
+                "no non-empty datasets for this split — check the data "
+                "root layout (laion_human/ laion_nonhuman/), the task "
+                "lists, and that the split has ≥1 sample (a tiny dataset "
+                "can round the 5% val split down to zero files)")
         self.batch_size = batch_size
         self.seed = seed
         self.fixed_supports = fixed_supports

@@ -48,5 +48,16 @@ def restore_state(manager: ocp.CheckpointManager, template: Any, step: Optional[
     return restored, step
 
 
+def save_final(manager: ocp.CheckpointManager, step: int, state: Any):
+    """End-of-run force save: the last training step is usually NOT on a
+    save_interval multiple, so without this the final partial interval of
+    updates is silently discarded at exit. No-op when `step` already
+    saved (interval landed exactly on it)."""
+    manager.wait_until_finished()
+    if manager.latest_step() != step:
+        manager.save(step, args=ocp.args.StandardSave(state), force=True)
+    manager.wait_until_finished()
+
+
 def wait_for_saves(manager: ocp.CheckpointManager):
     manager.wait_until_finished()

@@ -45,6 +45,7 @@ class ImageLogger:
         self.max_images = max_images
         self.guidance_scale = guidance_scale
         self.num_steps = num_steps
+        self._gen = None  # jitted sampler, built ONCE on first log
 
     def maybe_log(self, pipe, params, batch, step: int, rng, split: str = "train"):
         if step == 0 or step % self.freq or jax.process_index() != 0:
@@ -52,7 +53,12 @@ class ImageLogger:
         n = min(self.max_images, batch["image"].shape[0])
         import jax.numpy as jnp
 
-        gen = pipe.jit_generate()
+        if self._gen is None:
+            # a fresh pipe.jit_generate() per log event would start from an
+            # empty jit cache and recompile the full sampler (minutes at
+            # 512² on TPU) every --image-log-every steps
+            self._gen = pipe.jit_generate()
+        gen = self._gen
         imgs = gen(
             params, rng,
             jnp.asarray(batch["token_ids"][:n]),

@@ -123,12 +123,18 @@ def init_train_state(
 def make_train_step(pipe: PromptDiffusionSD15, cfg: SD15TrainConfig, tx, mesh=None):
     """Returns step(state, frozen, batch, rng) → (state, metrics).
 
-    batch dict (all NHWC, pixel values in [-1,1]):
-      image        (B,H,W,3) target image
-      query        (B,H,W,3) query condition
-      example_pair (B,H,W,6) condition‖image support pair
+    batch dict (all NHWC — ranges follow the REFERENCE trainers,
+    edit_dataset.py:54-63 / laion_meta_dataset.py:57-63: images are
+    Normalize(0.5,0.5) → [-1,1], conditions are ToTensor-only → [0,1]):
+      image        (B,H,W,3) target image, [-1,1]
+      query        (B,H,W,3) query condition, [0,1]
+      example_pair (B,H,W,6) condition[0,1] ‖ image[-1,1] support pair
       token_ids    (B,77) int32 prompt ids
       null_ids     (1,77) int32 ids of the empty prompt (uncond)
+    generate.py consumes checkpoints with the same convention; the
+    reference NOTEBOOK feeds [-1,1] conditions (its own train/inference
+    inconsistency) — examples/run_prompt_diffusion.py mirrors that for
+    published-checkpoint compatibility.
 
     With `mesh`, params are gathered to replicated at step entry (ZeRO
     style: fsdp-sharded at rest, all-gathered for compute). The gather's

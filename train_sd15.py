@@ -137,7 +137,10 @@ def main(argv=None):
     if args.resume:
         state, restored = ckpt.restore_state(manager, state)
         if restored is not None:
-            start_step = int(restored)
+            # checkpoints store the POST-update state of loop step N
+            # (state.step == N+1): resume at N+1, not N — re-running N
+            # applied its update twice and desynced state.step forever
+            start_step = int(restored) + 1
             print(f"resumed from step {start_step}")
 
     tokenizer = load_tokenizer(args.tokenizer_assets)
@@ -178,7 +181,7 @@ def main(argv=None):
                 sample_params["unet"] = state.trainable["unet"]
             imlog.maybe_log(pipe, sample_params, batch, step, jax.random.PRNGKey(0))
 
-    ckpt.wait_for_saves(manager)
+    ckpt.save_final(manager, args.max_steps - 1, state)
     print("done")
 
 

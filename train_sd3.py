@@ -121,6 +121,10 @@ def main(argv=None):
     frozen = {k: params[k] for k in ("transformer", "vae", "clip_l", "clip_g")}
     state = apply_sharding(state, shard_params(state, mesh))
     frozen = apply_sharding(frozen, shard_params(frozen, mesh))
+    # drop the replicated init-time tree: keeping it alive would hold a
+    # second, unsharded copy of the full model in HBM for the whole run
+    # (text encoding below uses the fsdp-sharded `frozen` copy)
+    del params
 
     manager = ckpt.make_manager(f"{args.logdir}/checkpoints",
                                 save_every=args.ckpt_every, keep=args.ckpt_keep)
@@ -128,7 +132,10 @@ def main(argv=None):
     if args.resume:
         state, restored = ckpt.restore_state(manager, state)
         if restored is not None:
-            start_step = int(restored)
+            # checkpoints store the POST-update state of loop step N
+            # (state.step == N+1): resume at N+1, not N — re-running N
+            # applied its update twice and desynced state.step forever
+            start_step = int(restored) + 1
 
     tokenizer = load_tokenizer(args.tokenizer_assets)
     dataset = EditDataset(args.data_root, task_list=args.tasks, resolution=res)
@@ -147,9 +154,14 @@ def main(argv=None):
     for step in range(start_step, args.max_steps):
         hb = next(it)
         ids = jnp.asarray(hb["token_ids"])
-        context, pooled = encode_text(params, ids)
-        # loader conditions are [0,1] (edit_dataset semantics) — the VAE
-        # consumes [-1,1], so remap conditions; images are already [-1,1]
+        context, pooled = encode_text(frozen, ids)
+        # loader conditions are [0,1] (edit_dataset semantics) — remap to
+        # [-1,1] for the VAE. Deliberate divergence, recorded: the
+        # reference SD3 trainer VAE-encodes the raw [0,1] conditions
+        # (train_promptdiffusion_sd3.py:1241-1251) while its inference
+        # pipeline normalizes them to [-1,1] (VaeImageProcessor default,
+        # promptdiffusioncontrolnetpipeline_sd3.py:227) — we match the
+        # inference convention on BOTH sides so train and generate agree.
         dev = {
             "image": hb["image"],
             "control": hb["query"] * 2 - 1,
@@ -166,7 +178,7 @@ def main(argv=None):
             t0 = time.perf_counter()
             mlog.log(step, metrics)
         ckpt.save_state(manager, step, state)
-    ckpt.wait_for_saves(manager)
+    ckpt.save_final(manager, args.max_steps - 1, state)
     print("done")
 
 
