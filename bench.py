@@ -129,23 +129,13 @@ def bench_sd3(args):
                                          vae_int8=args.int8_vae)
     else:
         pipe = PromptDiffusionSD3.create()  # drop_t5 mode (zero-padded T5 slots)
-    log("initializing SD3 params (jitted init, bf16 weights)...")
-    # bf16 weights: the fp32 SD3 stack + 1024² activations exceed one chip's
-    # HBM, and the reference serves SD3 in fp16 (torch_dtype=torch.float16
-    # quickstart) — halved-precision weights ARE the reference-parity
-    # configuration. Init+cast in ONE program so XLA frees each fp32
-    # init buffer right after its cast.
-    from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
-
-    params = jax.jit(
-        lambda r: cast_params_bf16(pipe.init_params(r, image_size=size, batch=1))
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    log("params ready (bf16 weights)")
 
     ids = {"l": jnp.zeros((b, 77), jnp.int32), "g": jnp.zeros((b, 77), jnp.int32)}
     img = jnp.zeros((b, size, size, 3), jnp.float32)
 
+    # The T5 stage must run BEFORE the SD3 params exist on-device: T5-XXL
+    # bf16 (9.5 GB) + the SD3 stack (~7 GB) + encode activations exceed one
+    # 16 GB chip (measured RESOURCE_EXHAUSTED when ordered the other way).
     t5_seq = neg_t5_seq = None
     t5_encode_s = 0.0
     if args.with_t5:
@@ -177,6 +167,20 @@ def bench_sd3(args):
         t5_seq, neg_t5_seq = jnp.asarray(t5_seq), jnp.asarray(neg_t5_seq)
         del t5_params, both  # frees the XXL weights before the denoise graph
         log(f"T5-XXL staged encode: {t5_encode_s * 1e3:.1f} ms (weights freed)")
+
+    log("initializing SD3 params (jitted init, bf16 weights)...")
+    # bf16 weights: the fp32 SD3 stack + 1024² activations exceed one chip's
+    # HBM, and the reference serves SD3 in fp16 (torch_dtype=torch.float16
+    # quickstart) — halved-precision weights ARE the reference-parity
+    # configuration. Init+cast in ONE program so XLA frees each fp32
+    # init buffer right after its cast.
+    from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
+
+    params = jax.jit(
+        lambda r: cast_params_bf16(pipe.init_params(r, image_size=size, batch=1))
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log("params ready (bf16 weights)")
 
     gen = pipe.jit_generate()
 
