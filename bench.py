@@ -83,7 +83,8 @@ def bench_sd15(args):
 
     def run(key):
         return gen(params, key, ids, neg, pair, query,
-                   num_steps=args.steps, guidance_scale=9.0)
+                   num_steps=args.steps, guidance_scale=9.0,
+                   sampler=args.sampler)
 
     log("compiling generate program...")
     t0 = time.perf_counter()
@@ -102,7 +103,7 @@ def bench_sd15(args):
     tag = ", int8 serving mode" if args.int8 else ""
     emit(
         f"images/sec/chip (SD1.5 PromptDiffusion {args.size}px, "
-        f"{args.steps}-step DDIM, CFG, batch {b}{tag})",
+        f"{args.steps}-step {args.sampler.upper()}, CFG, batch {b}{tag})",
         b / best, "img/s", A100_SD15_IMGS_PER_SEC,
     )
     print(
@@ -323,6 +324,9 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "plms", "unipc", "dpm++", "dpm"],
+                    help="sd15 denoise loop (BASELINE config 2 = unipc)")
     ap.add_argument("--bf16-params", action="store_true",
                     help="cast weights to bf16 (halves weight HBM traffic)")
     ap.add_argument("--with-t5", action="store_true",

@@ -38,7 +38,9 @@ def parse_args():
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("--cfg", type=float, default=5.0)
     p.add_argument("--control-scale", type=float, default=1.0)
-    p.add_argument("--sampler", choices=["ddim", "unipc"], default="ddim")
+    p.add_argument("--sampler", choices=["ddim", "unipc", "dpm++", "dpm", "plms"],
+                   default="ddim",
+                   help="sd15 denoise loop (sd3 is flow-match Euler only)")
     p.add_argument("--black-support", action="store_true",
                    help="zero the support pair (generate_train.py ablation)")
     p.add_argument("--compute-fid", action="store_true",
@@ -54,6 +56,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.stack == "sd3" and args.sampler != "ddim":
+        raise SystemExit("--sampler applies to sd15 only; SD3 uses flow-match Euler")
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -85,7 +89,7 @@ def main():
                 control_scale=1.0, prompts=None, neg_prompts=None):
             return _sd15_gen(params, key, ids, neg, pair, query,
                              num_steps=num_steps, guidance_scale=guidance_scale,
-                             control_scale=control_scale)
+                             control_scale=control_scale, sampler=args.sampler)
     else:
         from prompt_diffusion_tpu.data.t5_tokenizer import load_t5_tokenizer
         from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd3 import PromptDiffusionSD3

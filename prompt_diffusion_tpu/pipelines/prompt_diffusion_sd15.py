@@ -190,15 +190,35 @@ class PromptDiffusionSD15:
         eta: float = 0.0,
         guess_mode: bool = False,
         init_noise: Optional[jnp.ndarray] = None,
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
         """Returns images (B, H, W, 3) in [0,1]. Jit with
-        static_argnums on (num_steps, eta, guess_mode) via the cached
-        wrapper below, or wrap yourself under pjit."""
+        static_argnums on (num_steps, eta, guess_mode, sampler) via the
+        cached wrapper below, or wrap yourself under pjit.
+
+        `sampler` selects the denoise loop — "ddim" (reference default,
+        the only one supporting eta>0), "plms", "unipc" (the reference
+        diffusers drivers' UniPCMultistepScheduler,
+        train_promptdiffusion_sd15.py:90-103), "dpm++" / "dpm"
+        (DPM-Solver multistep order 2, data/noise prediction)."""
+        if sampler not in ("ddim", "plms", "unipc", "dpm++", "dpm"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        if sampler != "ddim" and eta != 0.0:
+            raise ValueError(f"eta>0 is DDIM-only (got sampler={sampler!r})")
         self.check_inputs(token_ids, neg_token_ids, example_pair, query)
         b, img_h, img_w, _ = query.shape
         lat_h, lat_w = img_h // 8, img_w // 8
 
-        tables = DDIMTables.create(self.schedule, num_steps, eta=eta)
+        if sampler == "unipc":
+            from prompt_diffusion_tpu.schedulers.unipc import UniPCTables
+
+            tables = UniPCTables.create(self.schedule, num_steps)
+        elif sampler in ("dpm++", "dpm"):
+            from prompt_diffusion_tpu.schedulers.dpm_solver import DPMTables
+
+            tables = DPMTables.create(self.schedule, num_steps)
+        else:
+            tables = DDIMTables.create(self.schedule, num_steps, eta=eta)
 
         ctx_cond = self.encode_prompt(params, token_ids)
         ctx_uncond = self.encode_prompt(params, neg_token_ids)
@@ -259,13 +279,29 @@ class PromptDiffusionSD15:
             # batcher (batch composition must not change a request's image)
             x = init_noise.astype(jnp.float32)
 
-        # ddim_sample_loop runs ALL tables.num_steps entries — which can
-        # exceed num_steps when 1000 % num_steps != 0 (e.g. 30 → 31
-        # entries; the reference iterates the full table,
-        # ddim_hacked.py:145) — and matches the reference's stochastic
-        # noise handling when eta > 0.
-        x = ddim_sample_loop(eps_fn, x, tables,
-                             rng=loop_rng if eta > 0.0 else None)
+        if sampler == "unipc":
+            from prompt_diffusion_tpu.schedulers.unipc import unipc_sample_loop
+
+            x = unipc_sample_loop(eps_fn, x, tables)
+        elif sampler in ("dpm++", "dpm"):
+            from prompt_diffusion_tpu.schedulers.dpm_solver import (
+                dpm_solver_multistep_loop,
+            )
+
+            x = dpm_solver_multistep_loop(eps_fn, x, tables,
+                                          predict_x0=(sampler == "dpm++"))
+        elif sampler == "plms":
+            from prompt_diffusion_tpu.schedulers.plms import plms_sample_loop
+
+            x = plms_sample_loop(eps_fn, x, tables)
+        else:
+            # ddim_sample_loop runs ALL tables.num_steps entries — which can
+            # exceed num_steps when 1000 % num_steps != 0 (e.g. 30 → 31
+            # entries; the reference iterates the full table,
+            # ddim_hacked.py:145) — and matches the reference's stochastic
+            # noise handling when eta > 0.
+            x = ddim_sample_loop(eps_fn, x, tables,
+                                 rng=loop_rng if eta > 0.0 else None)
         return self.decode_latents(params, x)
 
     def jit_generate(self, donate: bool = False):
@@ -278,7 +314,7 @@ class PromptDiffusionSD15:
         donate — params are reused across calls)."""
         return jax.jit(
             self.generate,
-            static_argnames=("num_steps", "eta", "guess_mode"),
+            static_argnames=("num_steps", "eta", "guess_mode", "sampler"),
             donate_argnames=("init_noise",) if donate else (),
         )
 

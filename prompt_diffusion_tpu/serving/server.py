@@ -56,12 +56,13 @@ class GenerationRequest:
     control_scale: float = 1.0
     eta: float = 0.0
     guess_mode: bool = False
+    sampler: str = "ddim"  # "ddim" | "plms" | "unipc" | "dpm++" | "dpm"
     seed: int = 0
 
     def bucket_key(self):
         """Everything shape- or compile-affecting."""
         h, w, _ = self.query.shape
-        return (h, w, self.num_steps, self.eta, self.guess_mode)
+        return (h, w, self.num_steps, self.eta, self.guess_mode, self.sampler)
 
 
 @dataclasses.dataclass
@@ -336,6 +337,7 @@ class SD15Adapter(PipelineAdapter):
             eta=r0.eta,
             guess_mode=r0.guess_mode,
             init_noise=noise,
+            sampler=getattr(r0, "sampler", "ddim"),
         )
 
 

@@ -36,3 +36,23 @@ def test_int8_default_per_config(monkeypatch):
         monkeypatch.setattr(sys, "argv", ["bench.py"] + argv)
         bench.main()
         assert seen["cfg"] == expect, (argv, seen["cfg"], expect)
+
+
+def test_sampler_flag(monkeypatch):
+    """--sampler reaches the sd15 bench (BASELINE config 2 samples with
+    UniPC, train_promptdiffusion_sd15.py:90-103) and rejects unknowns."""
+    import pytest
+
+    bench = _load_bench()
+    seen = {}
+    monkeypatch.setattr(bench, "bench_sd15", lambda a: seen.update(s=a.sampler))
+
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    assert seen["s"] == "ddim"
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--sampler", "unipc"])
+    bench.main()
+    assert seen["s"] == "unipc"
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--sampler", "euler"])
+    with pytest.raises(SystemExit):
+        bench.main()

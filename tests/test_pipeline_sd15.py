@@ -165,3 +165,49 @@ def test_guess_mode_uncond_branch_has_no_control(tiny_pipeline):
     nb = gen(params, key, ids, ids, pair_b, query_b,
              num_steps=2, guidance_scale=0.0, guess_mode=False)
     assert not np.allclose(np.asarray(na), np.asarray(nb), atol=1e-6)
+
+
+def test_generate_sampler_dispatch(tiny_pipeline):
+    """sampler= is a first-class pipeline option (the reference's diffusers
+    drivers sample with UniPCMultistepScheduler,
+    train_promptdiffusion_sd15.py:90-103): every sampler produces a valid
+    image, samplers genuinely differ, and eta>0 is rejected off-DDIM."""
+    pipe, params = tiny_pipeline
+    # the random-init UNet's output head is zero-init (zero_module), so
+    # ε ≡ 0 and every same-grid sampler degenerates to the identical
+    # trajectory — perturb the params so ε actually depends on (x, t)
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    pkeys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+         for (_, l), k in zip(leaves, pkeys)],
+    )
+    gen = pipe.jit_generate()
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 100, (2, 77)), jnp.int32)
+    neg = jnp.zeros_like(ids)
+    rng = np.random.default_rng(2)
+    pair = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 6)), jnp.float32)
+    query = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    outs = {}
+    for s in ("ddim", "plms", "unipc", "dpm++", "dpm"):
+        img = gen(params, key, ids, neg, pair, query,
+                  num_steps=4, guidance_scale=7.0, sampler=s)
+        arr = np.asarray(img)
+        assert arr.shape == (2, 64, 64, 3) and np.isfinite(arr).all(), s
+        assert arr.min() >= 0.0 and arr.max() <= 1.0, s
+        outs[s] = arr
+    # distinct update rules → distinct images (same x_T per key)
+    for s in ("plms", "unipc", "dpm++"):
+        assert not np.allclose(outs["ddim"], outs[s], atol=1e-5), s
+    # dpm (noise pred) differs from dpm++ (data pred)
+    assert not np.allclose(outs["dpm"], outs["dpm++"], atol=1e-5)
+
+    with pytest.raises(ValueError, match="eta"):
+        pipe.generate(params, key, ids, neg, pair, query,
+                      num_steps=4, eta=0.5, sampler="unipc")
+    with pytest.raises(ValueError, match="unknown sampler"):
+        pipe.generate(params, key, ids, neg, pair, query,
+                      num_steps=4, sampler="euler")

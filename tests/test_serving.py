@@ -94,6 +94,22 @@ def test_distinct_configs_distinct_buckets(server):
     assert server.stats["requests"] >= 2
 
 
+def test_sampler_splits_buckets(server):
+    """Per-request sampler choice is compile-affecting → distinct buckets;
+    both requests complete and the update rules genuinely differ (same
+    seed → same x_T, different trajectories)."""
+    import dataclasses
+
+    base = _req(seed=70, steps=4)
+    alt = dataclasses.replace(_req(seed=70, steps=4), sampler="unipc")
+    assert base.bucket_key() != alt.bucket_key()
+    fa, fb = server.submit(base), server.submit(alt)
+    a, b = fa.result(timeout=300), fb.result(timeout=300)
+    assert a.shape == b.shape == (64, 64, 3)
+    assert np.isfinite(b).all()
+    assert not np.array_equal(a, b)
+
+
 def test_per_request_scales_in_one_batch(server):
     """Two identical requests differing only in control_scale must yield
     different images from ONE shared execution (traced per-sample scales)."""

@@ -63,16 +63,22 @@ def main():
     tr, cn, tparams, cparams, (lat, t, ctx, pooled, cond) = build(
         args.int8, args.size, args.batch)
 
-    def step(x, i):
-        tt = t + i.astype(jnp.float32)
-        taps = cn.apply(cparams, x * 0.999, tt, cond, cond, ctx, pooled,
-                        conditioning_scale=1.0)
-        eps = tr.apply(tparams, x * 0.999, tt, ctx, pooled,
-                       block_controlnet_hidden_states=taps)
-        return (x + 1e-3 * eps.astype(x.dtype)), None
+    # params travel as jit ARGUMENTS — closing over them bakes ~6 GB of
+    # weights into the lowering as constants, which the remote-compile
+    # tunnel then serializes (measured: the capture blew a 30-min bound)
+    def run_fn(tp, cp, x0):
+        def step(x, i):
+            tt = t + i.astype(jnp.float32)
+            taps = cn.apply(cp, x * 0.999, tt, cond, cond, ctx, pooled,
+                            conditioning_scale=1.0)
+            eps = tr.apply(tp, x * 0.999, tt, ctx, pooled,
+                           block_controlnet_hidden_states=taps)
+            return (x + 1e-3 * eps.astype(x.dtype)), None
 
-    run = jax.jit(
-        lambda x0: jax.lax.scan(step, x0, jnp.arange(args.steps))[0])
+        return jax.lax.scan(step, x0, jnp.arange(args.steps))[0]
+
+    run_jit = jax.jit(run_fn)
+    run = lambda x0: run_jit(tparams, cparams, x0)
     t0 = time.perf_counter()
     events = capture(run, lat)
     print(f"capture done in {time.perf_counter() - t0:.0f}s "

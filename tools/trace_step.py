@@ -36,12 +36,19 @@ def main():
         args.batch, int8=args.int8)
     hint = cnet.apply(cparams, example_pair=pair, query=query, hint_only=True)
 
-    def step(x, i):
-        tt = jnp.full((args.batch,), i, jnp.int32)
-        control = cnet.apply(cparams, x * 0.999, tt, context=ctx, guided_hint=hint)
-        return unet.apply(uparams, x * 0.999, tt, ctx, control=control), None
+    # params travel as jit ARGUMENTS — closing over them bakes the weights
+    # into the lowering as constants, which the remote-compile tunnel then
+    # serializes (same fix as tools/trace_sd3.py)
+    def run_fn(up, cp, x0):
+        def step(x, i):
+            tt = jnp.full((args.batch,), i, jnp.int32)
+            control = cnet.apply(cp, x * 0.999, tt, context=ctx, guided_hint=hint)
+            return unet.apply(up, x * 0.999, tt, ctx, control=control), None
 
-    run = jax.jit(lambda x0: jax.lax.scan(step, x0, jnp.arange(5))[0])
+        return jax.lax.scan(step, x0, jnp.arange(5))[0]
+
+    run_jit = jax.jit(run_fn)
+    run = lambda x0: run_jit(uparams, cparams, x0)
     jax.block_until_ready(run(lat))  # compile outside the trace
     os.system(f"rm -rf {args.logdir}")
     with jax.profiler.trace(args.logdir):

@@ -37,13 +37,15 @@ def main():
 
     n = args.trips
 
-    def run(z0):
+    # params as jit arguments, not closure constants (tools/trace_sd3.py)
+    def run_fn(p, z0):
         def body(c, i):
-            img = pipe.decode_latents(params, z0 + 1e-3 * i)
+            img = pipe.decode_latents(p, z0 + 1e-3 * i)
             return c + jnp.sum(img), None
         return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
 
-    events = capture(jax.jit(run), lat)
+    run_jit = jax.jit(run_fn)
+    events = capture(lambda z0: run_jit(params, z0), lat)
     bucket(events, trips=n, top=args.top)
 
 
