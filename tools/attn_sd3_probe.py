@@ -116,15 +116,23 @@ def main():
 
         print("\nblock_q sweep (bf16 packed full-K):", flush=True)
         for tgt in (128, 256, 512, 1024):
-            timed(f"  bf16 block_q_target={tgt}",
-                  lambda x, t=tgt: _packed_forward(x, x, x, H, scale, t),
-                  qp, args.iters)
+            try:
+                timed(f"  bf16 block_q_target={tgt}",
+                      lambda x, t=tgt: _packed_forward(x, x, x, H, scale, t),
+                      qp, args.iters)
+            except Exception as e:  # VMEM OOM at big blocks — keep sweeping
+                print(f"  bf16 block_q_target={tgt}  FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
         print("block_q sweep (int8 packed full-K):", flush=True)
         for tgt in (128, 256, 512, 1024):
-            timed(f"  int8 block_q_target={tgt}",
-                  lambda x, t=tgt: flash_attention_packed_int8(
-                      x, x, x, H, scale, block_q_target=t),
-                  qp, args.iters)
+            try:
+                timed(f"  int8 block_q_target={tgt}",
+                      lambda x, t=tgt: flash_attention_packed_int8(
+                          x, x, x, H, scale, block_q_target=t),
+                      qp, args.iters)
+            except Exception as e:
+                print(f"  int8 block_q_target={tgt}  FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":
