@@ -54,10 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 #   im2col (default): XLA materializes the x3 im2col in HBM (3x int8
 #     activation traffic) — the round-3 measured kernel.
 #   xshift (PD_INT8_CONV_XSHIFT=1): the kernel reads the RAW halo'd int8
-#     rows and builds the x3 concat in VMEM — same MXU schedule, one VPU
-#     relayout pass instead of the 3x HBM round-trip. Built for the
-#     traffic-bound 64^2/320ch site (130.6 TF/s < bf16's 141.6 with
-#     im2col); chip-measure via tools/int8_probe.py before defaulting.
+#     rows and runs the 3x3 as 9 per-tap dots with in-VMEM int32
+#     slice-accumulate, killing the 3x HBM round-trip. MEASURED SLOWER
+#     at every site (tools/int8_probe.py, 2026-08-19: 119.7 vs 132.5
+#     TF/s at 64^2/320, 164 vs 239 at 32^2/640, 167 vs 271 at 16^2/1280)
+#     — the 9 narrower MXU dots and the per-tap offset relayouts cost
+#     more than the im2col traffic they save; kept as a bit-exact,
+#     parity-tested negative result, not a serving path.
 _DEFAULT_VARIANT = "xshift" if os.environ.get("PD_INT8_CONV_XSHIFT") else "im2col"
 
 # Per-step VMEM working-set budget (activation block + weight block +
@@ -99,21 +102,37 @@ def _conv_kernel(x_ref, w_ref, sw_ref, sa_ref, b_ref, o_ref):
 
 def _conv_kernel_xshift(x_ref, w_ref, sw_ref, sa_ref, b_ref, o_ref):
     """Like _conv_kernel, but the input block is the RAW halo'd int8 rows
-    ((hb+2, W+2, Cin) — x-padded, no im2col): the x3 concat is built here
-    in VMEM (one VPU relayout) instead of being materialized in HBM by
-    XLA, cutting the activation HBM traffic ~3x."""
-    hp, wp, _ = x_ref.shape[2:]
-    h, w = hp - 2, wp - 2
+    ((hb+2, W+2, Cin) — x-padded, no im2col), cutting the activation HBM
+    traffic ~3x. The 3x3 runs as 9 per-tap MXU dots over the full-width
+    rows, accumulated in int32 with an x-slice per tap — building the x3
+    concat in VMEM instead would need tpu.concatenate over slices with
+    mismatched lane offsets, which Mosaic cannot lower (probed on-chip
+    2026-08-19: 'result/input offset mismatch on non-concat dimension').
+    The input block's width is padded to a multiple of 32 so the
+    (h, wp, cin) → (h·wp, cin) row merge is int8-sublane-tile aligned
+    (unpadded 66-wide rows fail 'unsupported shape cast')."""
+    hp, wp, cin = x_ref.shape[2:]
+    h, w = hp - 2, o_ref.shape[2]
     xs = x_ref[0, 0]
-    x3 = jnp.concatenate([xs[:, dx : dx + w, :] for dx in range(3)], axis=-1)
-    acc = _row_shifted_dots(x3, w_ref, h, w)
-    _epilogue(acc, sw_ref, sa_ref, b_ref, o_ref, h, w)
+    acc = None
+    for dy in range(3):
+        rows = xs[dy : dy + h].reshape(h * wp, cin)  # contiguous full rows
+        for dx in range(3):
+            wt = w_ref[dy, dx * cin : (dx + 1) * cin, :]
+            yf = jax.lax.dot_general(
+                rows, wt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(h, wp, -1)[:, dx : dx + w, :]
+            acc = yf if acc is None else acc + yf
+    out = acc.astype(jnp.float32) * (sa_ref[0, 0, 0] * sw_ref[:][None])
+    out = out + b_ref[:][None]
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _x_bytes(hb, w, cin, variant):
     if variant == "xshift":
-        # raw halo'd input block + the in-kernel x3 concat buffer
-        return (hb + 2) * ((w + 2) * cin + w * 3 * cin)
+        # raw halo'd int8 input block at the 32-aligned padded width
+        return (hb + 2) * (w + 2 + (-(w + 2)) % 32) * cin
     return (hb + 2) * w * 3 * cin  # int8 im2col slab
 
 
@@ -139,6 +158,9 @@ def _pick_blocks(h, w, cin, cout, variant=None):
         for cb in cbs:
             w_bytes = 3 * 3 * cin * cb       # int8
             acc_bytes = hb * w * cb * 4      # int32 (+ f32 epilogue live range)
+            if variant == "xshift":
+                # live per-tap int32 dot output at the padded row width
+                acc_bytes += hb * (w + 2 + (-(w + 2)) % 32) * cb * 4
             out_bytes = hb * w * cb * 2
             if x_bytes + w_bytes + 2 * acc_bytes + out_bytes <= _VMEM_BUDGET:
                 return hb, cb
@@ -175,14 +197,18 @@ def conv3x3_int8(xq, s_a, wq, s_w, bias, out_dtype=jnp.bfloat16,
         interpret = jax.default_backend() == "cpu"
 
     if variant == "xshift":
-        # raw x-padded rows + halo'd row blocks; the im2col happens in-kernel
-        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # raw x-padded rows + halo'd row blocks; the 9 taps run in-kernel.
+        # Width pads to a multiple of 32 (int8 sublane tile) so the kernel's
+        # row merge is layout-legal; the extra zero columns are never
+        # selected by the per-tap output slices.
+        wp32 = w + 2 + (-(w + 2)) % 32
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, wp32 - w - 1), (0, 0)))
         if nb == 1:
             x3r = xp[:, None]
         else:
             x3r = jnp.stack(
                 [xp[:, r * hb : r * hb + hb + 2] for r in range(nb)], axis=1)
-        x_block = (1, 1, hb + 2, w + 2, cin)
+        x_block = (1, 1, hb + 2, wp32, cin)
         kernel = _conv_kernel_xshift
     else:
         # x-direction im2col (factor 3) + row padding + halo'd row blocks,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -160,13 +161,27 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--vae-int8", action="store_true",
                     help="int8 pipeline also quantizes the VAE interior convs")
+    ap.add_argument("--dump", default=None, metavar="DIR",
+                    help="save the generated image sets as .npy under DIR "
+                         "(so the FID/SSIM stages can rerun without paying "
+                         "~35 min of chip generation again)")
+    ap.add_argument("--from-dump", default=None, metavar="DIR",
+                    help="skip generation; load bf16/int8 image sets from DIR")
+    ap.add_argument("--bf16-from-dump", default=None, metavar="DIR",
+                    help="load only the bf16 set from DIR (reuses ~half the "
+                         "chip time when gating an int8 VARIANT, e.g. "
+                         "--vae-int8, against an already-dumped bf16 set)")
     args = ap.parse_args()
     size = args.size or (512 if args.stack == "sd15" else 1024)
     steps = args.steps or (50 if args.stack == "sd15" else 28)
 
     from prompt_diffusion_tpu.utils.dtypes import cast_params_bf16
 
-    if args.stack == "sd15":
+    if args.from_dump:
+        imgs_bf = np.load(os.path.join(args.from_dump, f"{args.stack}_bf16.npy"))
+        imgs_i8 = np.load(os.path.join(args.from_dump, f"{args.stack}_int8.npy"))
+        log(f"loaded {len(imgs_bf)}+{len(imgs_i8)} images from {args.from_dump}")
+    elif args.stack == "sd15":
         pipe_bf = build_sd15(False, size)
         pipe_i8 = build_sd15(True, size, vae_int8=args.vae_int8)
         log("init params...")
@@ -176,7 +191,12 @@ def main():
         jax.block_until_ready(params)
         errs = eps_relerr_sd15(pipe_bf, pipe_i8, params, size)
         print(json.dumps({"metric": "sd15 eps rel-err by t", "value": errs}), flush=True)
-        imgs_bf = gen_sd15(pipe_bf, params, args.n, args.batch, size, steps, "bf16")
+        if args.bf16_from_dump:
+            imgs_bf = np.load(
+                os.path.join(args.bf16_from_dump, f"{args.stack}_bf16.npy"))
+            log(f"loaded {len(imgs_bf)} bf16 images from {args.bf16_from_dump}")
+        else:
+            imgs_bf = gen_sd15(pipe_bf, params, args.n, args.batch, size, steps, "bf16")
         imgs_i8 = gen_sd15(pipe_i8, params, args.n, args.batch, size, steps, "int8")
     else:
         pipe_bf = build_sd3(False)
@@ -186,8 +206,19 @@ def main():
             pipe_bf.init_params(r, image_size=size, batch=1)))(jax.random.PRNGKey(0))
         params = perturb_zero_init(params)
         jax.block_until_ready(params)
-        imgs_bf = gen_sd3(pipe_bf, params, args.n, args.batch, size, steps, "bf16")
+        if args.bf16_from_dump:
+            imgs_bf = np.load(
+                os.path.join(args.bf16_from_dump, f"{args.stack}_bf16.npy"))
+            log(f"loaded {len(imgs_bf)} bf16 images from {args.bf16_from_dump}")
+        else:
+            imgs_bf = gen_sd3(pipe_bf, params, args.n, args.batch, size, steps, "bf16")
         imgs_i8 = gen_sd3(pipe_i8, params, args.n, args.batch, size, steps, "int8")
+
+    if args.dump and not args.from_dump:
+        os.makedirs(args.dump, exist_ok=True)
+        np.save(os.path.join(args.dump, f"{args.stack}_bf16.npy"), imgs_bf)
+        np.save(os.path.join(args.dump, f"{args.stack}_int8.npy"), imgs_i8)
+        log(f"dumped image sets to {args.dump}")
 
     # SSIM distribution (identical seeds → pairwise comparable)
     s = ssim(imgs_bf, imgs_i8)
