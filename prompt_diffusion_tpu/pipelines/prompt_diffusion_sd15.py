@@ -191,6 +191,8 @@ class PromptDiffusionSD15:
         guess_mode: bool = False,
         init_noise: Optional[jnp.ndarray] = None,
         sampler: str = "ddim",
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 1.0,
     ) -> jnp.ndarray:
         """Returns images (B, H, W, 3) in [0,1]. Jit with
         static_argnums on (num_steps, eta, guess_mode, sampler) via the
@@ -200,11 +202,23 @@ class PromptDiffusionSD15:
         the only one supporting eta>0), "plms", "unipc" (the reference
         diffusers drivers' UniPCMultistepScheduler,
         train_promptdiffusion_sd15.py:90-103), "dpm++" / "dpm"
-        (DPM-Solver multistep order 2, data/noise prediction)."""
+        (DPM-Solver multistep order 2, data/noise prediction).
+
+        `control_guidance_start`/`control_guidance_end` restrict the
+        ControlNet to a fraction window of the sampling trajectory — the
+        per-step `controlnet_keep` factor of the reference pipeline
+        (pipeline_prompt_diffusion.py:1195-1235). Both fold as traced
+        scalars: changing the window never recompiles."""
+        from prompt_diffusion_tpu.pipelines.control_window import (
+            control_keep, is_default_window, step_index_from_timestep,
+            validate_window)
+
         if sampler not in ("ddim", "plms", "unipc", "dpm++", "dpm"):
             raise ValueError(f"unknown sampler {sampler!r}")
         if sampler != "ddim" and eta != 0.0:
             raise ValueError(f"eta>0 is DDIM-only (got sampler={sampler!r})")
+        validate_window(control_guidance_start, control_guidance_end)
+        windowed = not is_default_window(control_guidance_start, control_guidance_end)
         self.check_inputs(token_ids, neg_token_ids, example_pair, query)
         b, img_h, img_w, _ = query.shape
         lat_h, lat_w = img_h // 8, img_w // 8
@@ -261,9 +275,18 @@ class PromptDiffusionSD15:
         def eps_fn(x, t_b):
             x2 = jnp.concatenate([x] * 2, axis=0)
             t2 = jnp.concatenate([t_b] * 2, axis=0)
+            scale = ctrl_scale
+            if windowed:
+                # reference controlnet_keep[i]: i is the sampling-order
+                # step index, N the full table length (:1196-1199)
+                i = step_index_from_timestep(tables.timesteps, t_b[0])
+                k = control_keep(i, int(tables.timesteps.shape[0]),
+                                 control_guidance_start, control_guidance_end)
+                scale = (tuple(c * k for c in ctrl_scale)
+                         if isinstance(ctrl_scale, tuple) else ctrl_scale * k)
             control = self.controlnet.apply(
                 params["controlnet"], x2, t2, context=context2,
-                conditioning_scale=ctrl_scale, guided_hint=hint2,
+                conditioning_scale=scale, guided_hint=hint2,
             )
             if branch_mask is not None:
                 control = tuple(c * branch_mask.astype(c.dtype) for c in control)

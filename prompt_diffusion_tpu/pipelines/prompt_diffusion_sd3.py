@@ -156,10 +156,17 @@ class PromptDiffusionSD3:
         guidance_scale: float = 7.0,
         controlnet_conditioning_scale: float = 1.0,
         shift: float = 3.0,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 1.0,
         init_noise=None,
         t5_seq=None,      # precomputed T5 states for the cond prompt
         neg_t5_seq=None,  # ... and the uncond prompt (staged-T5 path)
     ) -> jnp.ndarray:
+        from prompt_diffusion_tpu.pipelines.control_window import (
+            control_keep, is_default_window, validate_window)
+
+        validate_window(control_guidance_start, control_guidance_end)
+        windowed = not is_default_window(control_guidance_start, control_guidance_end)
         b, img_h, img_w, _ = control_image.shape
         lat_h, lat_w = img_h // 8, img_w // 8
         zc = self.vae.config.z_channels
@@ -195,9 +202,15 @@ class PromptDiffusionSD3:
         def body(x, i):
             t2 = jnp.full((2 * b,), timesteps[i], dtype=jnp.float32)
             x2 = jnp.concatenate([x] * 2, axis=0)
+            cond_scale = controlnet_conditioning_scale
+            if windowed:
+                # reference controlnet_keep[i] × conditioning_scale
+                # (promptdiffusioncontrolnetpipeline_sd3.py:1156-1162,1208)
+                cond_scale = cond_scale * control_keep(
+                    i, num_steps, control_guidance_start, control_guidance_end)
             control = self.controlnet.apply(
                 params["controlnet"], x2, t2, cond2, pair2, context2, pooled2,
-                conditioning_scale=controlnet_conditioning_scale,
+                conditioning_scale=cond_scale,
             )
             v2 = self.transformer.apply(
                 params["transformer"], x2, t2, context2, pooled2,
