@@ -216,38 +216,103 @@ def bench_sd3(args):
 
 
 def bench_annotate(args):
+    """BASELINE config 3 — batched on-device condition extraction.
+
+    The reference's annotation pass is HED + UniFormer seg + MiDaS
+    depth/normal, one image at a time on GPU (annotate_data.py:36-54);
+    canny is the notebook-path condition. `--annotator` picks one net
+    (throughput is weight-independent — random bf16 weights through the
+    real architectures) or `all` to measure each and emit the full
+    reference-pass number (hed+seg+depth/normal per image)."""
     import jax
     import jax.numpy as jnp
 
-    from prompt_diffusion_tpu.annotators.canny import canny
+    from prompt_diffusion_tpu.utils.dtypes import fast_random_params_bf16
 
     b = max(args.batch, 16)
     size = args.size
-    n = 20
-
-    def run_n(x):
-        def body(c, i):
-            e = canny(x * (1.0 + 1e-4 * i))
-            return c + jnp.sum(e.astype(jnp.float32)), None
-        return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
-
-    run = jax.jit(run_n)
     x0 = jax.random.uniform(jax.random.PRNGKey(0), (b, size, size, 3)) * 255.0
-    log("compiling batched canny...")
-    float(run(x0))
-    times = []
-    for i in range(max(args.iters, 3)):
-        xi = x0 * (1.0 + 1e-4 * (i + 1))
-        float(jnp.sum(xi))
+
+    def time_fn(name, run, n_inner=1):
+        log(f"compiling batched {name}...")
         t0 = time.perf_counter()
-        float(run(xi))
-        times.append(time.perf_counter() - t0)
-    best = min(times) / n
-    emit(
-        f"images/sec/chip (batched canny condition extraction {size}px, batch {b})",
-        b / best, "img/s", A100_ANNOTATE_IMGS_PER_SEC,
-    )
-    print(f"times_ms_per_trip={[round(t * 1e3 / n, 2) for t in times]}", file=sys.stderr)
+        float(run(x0))
+        log(f"{name} compiled in {time.perf_counter() - t0:.0f}s; timing")
+        times = []
+        for i in range(max(args.iters, 3)):
+            xi = x0 * (1.0 + 1e-4 * (i + 1))
+            float(jnp.sum(xi))
+            t0 = time.perf_counter()
+            float(run(xi))
+            times.append(time.perf_counter() - t0)
+        per_img = min(times) / n_inner / b
+        print(f"{name}: {1.0 / per_img:.1f} img/s "
+              f"({per_img * 1e3:.2f} ms/img, batch {b}, "
+              f"times={[round(t * 1e3, 1) for t in times]} ms)", file=sys.stderr)
+        return per_img
+
+    per_img = {}
+    which = args.annotator
+    if which in ("canny", "all"):
+        from prompt_diffusion_tpu.annotators.canny import canny
+
+        n = 20  # cheap op: amortize dispatch over a scan of 20
+
+        def run_canny(x):
+            def body(c, i):
+                e = canny(x * (1.0 + 1e-4 * i))
+                return c + jnp.sum(e.astype(jnp.float32)), None
+            return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
+
+        per_img["canny"] = time_fn("canny", jax.jit(run_canny), n_inner=n)
+    if which in ("hed", "all"):
+        from prompt_diffusion_tpu.annotators.hed import HEDNetwork
+
+        net = HEDNetwork()
+        hp = fast_random_params_bf16(net, jax.random.PRNGKey(1), x0[:1])
+        per_img["hed"] = time_fn(
+            "hed", jax.jit(lambda x: jnp.sum(net.apply(hp, x))))
+    if which in ("midas", "all"):
+        # DPT-Hybrid — the reference's ecosystem-default MiDaS variant
+        # (annotator/midas/api.py:30-46); one forward yields depth AND
+        # normal, exactly the reference pass's _depth.jpg + _normal.jpg
+        from prompt_diffusion_tpu.annotators.midas import (
+            DPTHybridDepth, depth_to_normals)
+
+        dpt = DPTHybridDepth()
+        dp = fast_random_params_bf16(dpt, jax.random.PRNGKey(2),
+                                     x0[:1] / 127.5 - 1.0)
+
+        def run_midas(x):
+            depth = dpt.apply(dp, x / 127.5 - 1.0)
+            d01, normals = depth_to_normals(depth)
+            return jnp.sum(d01) + jnp.sum(normals)
+
+        per_img["midas"] = time_fn("midas-hybrid(depth+normal)",
+                                   jax.jit(run_midas))
+    if which in ("uniformer", "all"):
+        from prompt_diffusion_tpu.annotators.uniformer import UniFormerSeg
+
+        seg = UniFormerSeg()
+        sp = fast_random_params_bf16(seg, jax.random.PRNGKey(3), x0[:1])
+        per_img["uniformer"] = time_fn(
+            "uniformer-seg",
+            jax.jit(lambda x: jnp.sum(jnp.argmax(seg.apply(sp, x), -1))))
+
+    if which == "all":
+        # the reference pass runs hed + seg + depth/normal on every image
+        pass_s = per_img["hed"] + per_img["uniformer"] + per_img["midas"]
+        emit(
+            f"images/sec/chip (batched annotation pass hed+seg+depth/normal "
+            f"{size}px, batch {b}, random bf16 weights)",
+            1.0 / pass_s, "img/s", A100_ANNOTATE_IMGS_PER_SEC,
+        )
+    else:
+        emit(
+            f"images/sec/chip (batched {which} condition extraction "
+            f"{size}px, batch {b})",
+            1.0 / per_img[which], "img/s", A100_ANNOTATE_IMGS_PER_SEC,
+        )
 
 
 def bench_train(args):
@@ -324,6 +389,11 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--annotator", default="canny",
+                    choices=["canny", "hed", "midas", "uniformer", "all"],
+                    help="annotate config: which net to bench (BASELINE 3; "
+                         "'all' also emits the reference-pass "
+                         "hed+seg+depth/normal number)")
     ap.add_argument("--sampler", default="ddim",
                     choices=["ddim", "plms", "unipc", "dpm++", "dpm"],
                     help="sd15 denoise loop (BASELINE config 2 = unipc)")

@@ -1,0 +1,269 @@
+"""Multi-PROCESS correctness simulation (VERDICT r3 next-round #4).
+
+The reference's DDP is genuinely multi-process (train.py:260 PL-DDP;
+eval/distributed.py:13-27 torch.distributed NCCL bootstrap). Every other
+multi-device artifact in this repo runs N virtual devices in ONE process;
+this script is the real thing in miniature: N OS processes × 4 CPU devices
+each, bootstrapped through `jax.distributed.initialize` (the TPU-native
+equivalent of the reference's env-var NCCL init), running
+
+  1. one SD1.5 ControlNet train step over the same 4×2 (data, fsdp) mesh
+     the single-process tests use — loss / grad-norm / update-norm must
+     match the single-process result;
+  2. the host-sharded BatchLoader: each process runs the REAL threaded
+     loader over a synthetic dataset with its (process_index,
+     process_count) shard and the union of consumed sample ids is checked
+     for exact partition (disjoint + complete) across processes;
+  3. a sharded orbax save from all processes + restore + equality.
+
+Run one process per rank (the pytest harness and __main__ both do this):
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+  python scripts/multiprocess_sim.py --num-processes 2 --process-id $i \
+      --coordinator localhost:12345 --ckpt-dir /tmp/mp_ckpt --out /tmp/r$i.json
+
+or single-process reference (8 local devices, no distributed init):
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python scripts/multiprocess_sim.py --num-processes 1 --out /tmp/ref.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--coordinator", default="localhost:12391")
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    # self-contained platform forcing (same dance as __graft_entry__):
+    # the axon sitecustomize sets JAX_PLATFORMS at import; re-force cpu
+    # BEFORE any backend touch. Device count comes from XLA_FLAGS, set by
+    # the parent (4 per process for the sim, 8 for the reference run).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    if args.num_processes > 1:
+        # the reference reads MASTER_ADDR/MASTER_PORT/RANK/WORLD_SIZE and
+        # calls init_process_group('nccl') (eval/distributed.py:13-27);
+        # this is the one-call JAX equivalent.
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        assert jax.process_index() == args.process_id
+        assert jax.process_count() == args.num_processes
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    n_global = jax.device_count()
+    n_local = jax.local_device_count()
+    print(f"[p{args.process_id}] {n_local} local / {n_global} global devices",
+          flush=True)
+    assert n_global == 8, f"sim expects 8 global devices, got {n_global}"
+
+    from prompt_diffusion_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from prompt_diffusion_tpu.models.controlnet_sd15 import ControlNetSD15
+    from prompt_diffusion_tpu.models.unet_sd15 import UNetConfig, UNetSD15
+    from prompt_diffusion_tpu.models.vae import AutoencoderKL, VAEConfig
+    from prompt_diffusion_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicate, shard_params)
+    from prompt_diffusion_tpu.pipelines.prompt_diffusion_sd15 import (
+        PromptDiffusionSD15)
+    from prompt_diffusion_tpu.schedulers.schedules import DiffusionSchedule
+    from prompt_diffusion_tpu.training.sd15 import (
+        SD15TrainConfig, init_train_state, make_optimizer, make_train_step)
+    from prompt_diffusion_tpu.utils.dtypes import fp32_policy
+
+    mesh = make_mesh(num_data=4, num_fsdp=2)
+
+    def put_global(tree, shardings):
+        """Host numpy (identical on every process) → global sharded arrays.
+        make_array_from_callback hands each process exactly its addressable
+        shards — the portable way to build cross-process arrays from
+        replicated host data."""
+        def put(x, sh):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+        return jax.tree_util.tree_map(put, tree, shardings)
+
+    # ---- tiny SD1.5 stack (fp32 for cross-topology determinism) ------------
+    pol = fp32_policy()
+    ucfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                      attention_resolutions=(1,), num_heads=4, context_dim=64)
+    pipe = PromptDiffusionSD15(
+        unet=UNetSD15(config=ucfg, policy=pol),
+        controlnet=ControlNetSD15(config=ucfg, policy=pol),
+        vae=AutoencoderKL(config=VAEConfig(ch=32, ch_mult=(1, 1, 2, 2),
+                                           num_res_blocks=1), policy=pol),
+        text_encoder=CLIPTextModel(
+            config=CLIPTextConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                                  num_heads=4, intermediate_size=128),
+            policy=pol),
+        schedule=DiffusionSchedule.create(),
+    )
+    # init on host-identical values: compute locally (deterministic on cpu),
+    # pull to host, then distribute with explicit global shardings
+    params_local = jax.jit(lambda r: pipe.init_params(r, image_size=32))(
+        jax.random.PRNGKey(0))
+    params_host = jax.device_get(params_local)
+    # perturb zero-init heads so gradients are live (matches the
+    # single-process equivalence test's setup)
+    i = [0]
+
+    def perturb(x):
+        if x.ndim >= 2 and not np.any(x):
+            i[0] += 1
+            rng = np.random.default_rng(1000 + i[0])
+            return (x + 0.05 * rng.standard_normal(x.shape)).astype(x.dtype)
+        return x
+
+    params_host = jax.tree_util.tree_map(perturb, params_host)
+
+    cfg = SD15TrainConfig(accum_steps=1, use_ema=False)
+    trainable = {"controlnet": params_host["controlnet"]}
+    tx = make_optimizer(cfg, trainable)
+    state = init_train_state(cfg, params_host, tx)
+    frozen = {k: params_host[k] for k in ("unet", "vae", "clip")}
+
+    state_sh = jax.tree_util.tree_map(lambda x: replicate(mesh), state)
+    state_sh = state_sh._replace(
+        trainable=shard_params(state.trainable, mesh, min_size=1024),
+        opt_state=shard_params(state.opt_state, mesh, min_size=1024),
+    )
+    state = put_global(jax.device_get(state), state_sh)
+    frozen = put_global(frozen, shard_params(frozen, mesh, min_size=1024))
+
+    b, res = 8, 32
+    rng = np.random.default_rng(0)
+    batch_host = {
+        "image": rng.uniform(-1, 1, (b, res, res, 3)).astype(np.float32),
+        "query": rng.uniform(-1, 1, (b, res, res, 3)).astype(np.float32),
+        "example_pair": rng.uniform(-1, 1, (b, res, res, 6)).astype(np.float32),
+        "token_ids": rng.integers(0, 100, (b, 77)).astype(np.int32),
+        "null_ids": np.zeros((1, 77), np.int32),
+    }
+    bs = batch_sharding(mesh)
+    batch = {
+        k: put_global(v, bs if v.shape[0] == b else replicate(mesh))
+        for k, v in batch_host.items()
+    }
+
+    step = jax.jit(make_train_step(pipe, cfg, tx, mesh=mesh))
+    new_state, metrics = step(state, frozen, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+    loss = float(metrics["loss"])
+    grad_norm = float(metrics["grad_norm"])
+
+    # update norm: a single replicated scalar computed ON the mesh, so no
+    # per-process gather of sharded leaves is needed
+    def upd_norm(new_t, old_t):
+        sq = sum(jnp.sum((a - b) ** 2)
+                 for a, b in zip(jax.tree_util.tree_leaves(new_t),
+                                 jax.tree_util.tree_leaves(old_t)))
+        return jnp.sqrt(sq)
+
+    update_norm = float(jax.jit(upd_norm)(new_state.trainable, state.trainable))
+    print(f"[p{args.process_id}] loss={loss:.6f} grad_norm={grad_norm:.6f} "
+          f"update_norm={update_norm:.6f}", flush=True)
+
+    # ---- host-sharded BatchLoader partition across REAL processes ----------
+    from prompt_diffusion_tpu.data.edit_dataset import BatchLoader
+
+    class SyntheticDS:
+        """sample ids encoded in the pixel values so the harness can
+        recover exactly which samples each process consumed."""
+        resolution = 8
+
+        def __len__(self):
+            return 48
+
+        def sample(self, rng, idx):
+            r = self.resolution
+            return {
+                "image": np.full((r, r, 3), float(idx), np.float32),
+                "query": np.zeros((r, r, 3), np.float32),
+                "example_pair": np.zeros((r, r, 6), np.float32),
+                "prompt": f"sample {idx}",
+                "task": "hed",
+            }
+
+    loader = BatchLoader(
+        SyntheticDS(), batch_size=4, seed=3, num_threads=2, prefetch=2,
+        shard_id=jax.process_index(), num_shards=max(jax.process_count(), 1),
+    )
+    seen = []
+    it = iter(loader)
+    per_proc = 48 // max(jax.process_count(), 1)
+    for _ in range(per_proc // 4):  # one epoch of this process's shard
+        bt = next(it)
+        seen.extend(int(v) for v in bt["image"][:, 0, 0, 0])
+    del it
+    assert len(seen) == per_proc and len(set(seen)) == per_proc, \
+        f"shard repeated samples: {sorted(seen)}"
+
+    if args.num_processes > 1:
+        from jax.experimental import multihost_utils
+
+        mine = np.full(per_proc, -1, np.int32)
+        mine[: len(seen)] = sorted(seen)
+        allseen = np.asarray(multihost_utils.process_allgather(mine)).ravel()
+        union = set(int(x) for x in allseen)
+        assert union == set(range(48)), (
+            f"shards do not partition the dataset: union={sorted(union)}")
+        loader_ok = True
+        print(f"[p{args.process_id}] loader partition exact "
+              f"({per_proc} samples/process, disjoint+complete)", flush=True)
+    else:
+        loader_ok = set(seen) == set(range(48))
+
+    # ---- sharded orbax save from every process + restore + equality --------
+    ckpt_ok = None
+    if args.ckpt_dir:
+        from prompt_diffusion_tpu.training import checkpoint as ckpt
+
+        manager = ckpt.make_manager(args.ckpt_dir, save_every=1, keep=1)
+        ckpt.save_state(manager, 0, new_state)
+        manager.wait_until_finished()
+        template = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+            else x, new_state)
+        restored, rstep = ckpt.restore_state(manager, template)
+        assert rstep == 0, rstep
+        r_norm = float(jax.jit(upd_norm)(restored.trainable, state.trainable))
+        ckpt_ok = abs(r_norm - update_norm) < 1e-6 * max(update_norm, 1.0)
+        assert ckpt_ok, (r_norm, update_norm)
+        print(f"[p{args.process_id}] sharded orbax roundtrip ok", flush=True)
+
+    if args.out and jax.process_index() == 0:
+        with open(args.out, "w") as f:
+            json.dump({
+                "num_processes": args.num_processes,
+                "devices": n_global,
+                "loss": loss,
+                "grad_norm": grad_norm,
+                "update_norm": update_norm,
+                "loader_ok": bool(loader_ok),
+                "ckpt_ok": ckpt_ok,
+            }, f)
+    print(f"[p{args.process_id}] DONE", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
