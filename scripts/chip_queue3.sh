@@ -1,5 +1,6 @@
 #!/bin/bash
 # Post-outage chip queue, priority-ordered for limited wall clock.
+# SUPERSEDED by scripts/chip_queue4.sh (this queue never ran; r3 tunnel outage).
 # Run: mkdir -p /tmp/chipq && bash scripts/chip_queue3.sh
 # Do NOT run while a CPU pytest suite is active (host contention inflates
 # TPU timings ~5x — .claude/skills/verify/SKILL.md).
