@@ -35,3 +35,36 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # The axon TPU shim calls jax.config.update("jax_platforms", "axon,cpu") at
 # jax import, overriding the env var — force the test platform back, last.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import pytest
+
+# Smoke tier (`pytest -m smoke`): seconds-per-test modules that together touch
+# every subsystem — schedules/samplers, tokenizers, config+import rules, data,
+# quant math, fused kernels, CLI surface. Keeps the edit-test loop <~3 min even
+# on a 1-core host (the default tier is tens of minutes there). Slow-marked
+# tests never join, whatever module they sit in.
+SMOKE_MODULES = {
+    "test_annotators",
+    "test_bench_cli",
+    "test_config",
+    "test_data",
+    "test_flow_match",
+    "test_fused_act",
+    "test_fused_adaln",
+    "test_import_rules",
+    "test_native_loader",
+    "test_ops",
+    "test_samplers_extra",
+    "test_schedules",
+    "test_tokenizers",
+    "test_unipc",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (
+            item.module.__name__ in SMOKE_MODULES
+            and "slow" not in item.keywords
+        ):
+            item.add_marker(pytest.mark.smoke)
