@@ -37,6 +37,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Exit code for cross-process transport failures (Gloo pair connect /
+# coordination-service deadline) — EX_TEMPFAIL, so the pytest harness can
+# report an environment diagnosis instead of a generic assert.
+EXIT_TRANSPORT = 75
+
+
+class TransportError(RuntimeError):
+    """Cross-process transport (Gloo/coordination) failure — an environment
+    problem, distinct from a numerics mismatch."""
+
+
+_TRANSPORT_MARKS = ("gloo", "connect timeout", "deadline exceeded",
+                    "barrier", "connection refused", "unavailable")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -70,6 +84,45 @@ def main():
 
     import numpy as np
     import jax.numpy as jnp
+
+    # --- constrained-host hardening (VERDICT r4 weak #2) --------------------
+    # On a 1-core host the two processes timeshare one CPU; a big serialized
+    # jit lets one process reach the first Gloo collective minutes before its
+    # peer, and Gloo's pair-connect timeout expires. Two countermeasures:
+    #   1. barrier(): a coordination-service (gRPC) barrier — independent of
+    #      Gloo — used to align the processes right before every
+    #      collective-bearing execution;
+    #   2. compile-then-barrier-then-run for the expensive programs, so the
+    #      inter-process skew at collective time is execution skew (~ms),
+    #      not compile skew (~minutes).
+    def barrier(name, timeout_ms=900_000):
+        if args.num_processes > 1:
+            from jax._src import distributed as _dist
+            try:
+                _dist.global_state.client.wait_at_barrier(name, timeout_ms)
+            except Exception as e:  # peer died / coordinator unreachable
+                raise TransportError(f"barrier {name}: {e}") from e
+
+    def run_guarded(what, fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 — classify, then re-raise
+            msg = str(e).lower()
+            if any(m in msg for m in _TRANSPORT_MARKS):
+                raise TransportError(f"{what}: {e}") from e
+            raise
+
+    if args.num_processes > 1:
+        # Establish the Gloo pairs NOW, while both processes are still
+        # synchronized from the coordinator handshake: a barrier, then one
+        # tiny cross-process collective (compile is ~1s, far inside Gloo's
+        # connect timeout).
+        barrier("warmup")
+        from jax.experimental import multihost_utils as _mhu
+        run_guarded("warmup allgather", _mhu.process_allgather,
+                    np.asarray([args.process_id], np.int32))
+        print(f"[p{args.process_id}] transport warm (gloo pairs up)",
+              flush=True)
 
     n_global = jax.device_count()
     n_local = jax.local_device_count()
@@ -165,7 +218,13 @@ def main():
     }
 
     step = jax.jit(make_train_step(pipe, cfg, tx, mesh=mesh))
-    new_state, metrics = step(state, frozen, batch, jax.random.PRNGKey(1))
+    # AOT-compile, align both processes, THEN execute: the first Gloo
+    # collective fires with ~ms of inter-process skew instead of the full
+    # (serialized, minutes-long on a 1-core host) compile skew.
+    step_c = step.lower(state, frozen, batch, jax.random.PRNGKey(1)).compile()
+    barrier("train_step_compiled")
+    new_state, metrics = run_guarded(
+        "train step", step_c, state, frozen, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(metrics)
     loss = float(metrics["loss"])
     grad_norm = float(metrics["grad_norm"])
@@ -178,7 +237,12 @@ def main():
                                  jax.tree_util.tree_leaves(old_t)))
         return jnp.sqrt(sq)
 
-    update_norm = float(jax.jit(upd_norm)(new_state.trainable, state.trainable))
+    upd_norm_c = jax.jit(upd_norm).lower(
+        new_state.trainable, state.trainable).compile()
+    barrier("upd_norm_compiled")
+    update_norm = float(run_guarded(
+        "update-norm reduce", upd_norm_c, new_state.trainable,
+        state.trainable))
     print(f"[p{args.process_id}] loss={loss:.6f} grad_norm={grad_norm:.6f} "
           f"update_norm={update_norm:.6f}", flush=True)
 
@@ -222,7 +286,10 @@ def main():
 
         mine = np.full(per_proc, -1, np.int32)
         mine[: len(seen)] = sorted(seen)
-        allseen = np.asarray(multihost_utils.process_allgather(mine)).ravel()
+        barrier("loader_allgather")
+        allseen = np.asarray(run_guarded(
+            "loader allgather", multihost_utils.process_allgather,
+            mine)).ravel()
         union = set(int(x) for x in allseen)
         assert union == set(range(48)), (
             f"shards do not partition the dataset: union={sorted(union)}")
@@ -237,15 +304,20 @@ def main():
     if args.ckpt_dir:
         from prompt_diffusion_tpu.training import checkpoint as ckpt
 
+        barrier("pre_ckpt")
         manager = ckpt.make_manager(args.ckpt_dir, save_every=1, keep=1)
-        ckpt.save_state(manager, 0, new_state)
+        run_guarded("orbax save", ckpt.save_state, manager, 0, new_state)
         manager.wait_until_finished()
         template = jax.tree_util.tree_map(
             lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
             else x, new_state)
-        restored, rstep = ckpt.restore_state(manager, template)
+        restored, rstep = run_guarded(
+            "orbax restore", ckpt.restore_state, manager, template)
         assert rstep == 0, rstep
-        r_norm = float(jax.jit(upd_norm)(restored.trainable, state.trainable))
+        barrier("post_restore")
+        r_norm = float(run_guarded(
+            "restore-norm reduce", upd_norm_c, restored.trainable,
+            state.trainable))
         ckpt_ok = abs(r_norm - update_norm) < 1e-6 * max(update_norm, 1.0)
         assert ckpt_ok, (r_norm, update_norm)
         print(f"[p{args.process_id}] sharded orbax roundtrip ok", flush=True)
@@ -266,4 +338,8 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except TransportError as e:
+        print(f"TRANSPORT_FAILURE: {e}", flush=True)
+        sys.exit(EXIT_TRANSPORT)
