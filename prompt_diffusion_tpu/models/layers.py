@@ -31,9 +31,11 @@ from prompt_diffusion_tpu.utils.dtypes import DTypePolicy
 # Flipping either requires a fresh process (measurement-only toggles).
 _SD15_INT8_ATTN = bool(os.environ.get("PD_SD15_INT8_ATTN"))
 # fused GEGLU→int8 epilogue (ops/fused_act.fused_geglu_quant): kills the
-# standalone amax+quant HBM passes over the (B,N,4C) GEGLU output, but the
-# kernel uses lax.erf — OFF until Mosaic-compile-validated on the chip.
-_SD15_FUSED_GEGLU = bool(os.environ.get("PD_SD15_FUSED_GEGLU"))
+# standalone amax+quant HBM passes over the (B,N,4C) GEGLU output. ON by
+# default since round 5: chip-measured 0.9984 vs 0.9665 img/s without it
+# (+3.3%, docs/evidence/q4/sd15_geglu.log); set PD_SD15_FUSED_GEGLU=0 to
+# fall back to the unfused path.
+_SD15_FUSED_GEGLU = os.environ.get("PD_SD15_FUSED_GEGLU", "1") not in ("", "0")
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
