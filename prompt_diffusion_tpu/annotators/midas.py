@@ -93,26 +93,38 @@ class ResidualConvUnit(nn.Module):
         return x + h
 
 
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear align_corners=True interpolation matrix:
+    row i holds the (≤2) source weights for output sample i."""
+    ys = np.linspace(0.0, n_in - 1.0, n_out)
+    y0 = np.floor(ys).astype(np.int64)
+    y1 = np.minimum(y0 + 1, n_in - 1)
+    wy = ys - y0
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), y0] += 1.0 - wy
+    m[np.arange(n_out), y1] += wy
+    return m
+
+
 def _resize_align_corners(x, new_h, new_w):
     """bilinear, align_corners=True (torch F.interpolate semantics used by
-    the DPT decoder)."""
+    the DPT decoder).
+
+    Expressed as two matmuls against static interpolation matrices rather
+    than 4 gathers: the separable bilinear kernel is exactly a left/right
+    multiply by (new_h, h)/(new_w, w) 2-banded matrices, which XLA maps
+    onto the MXU instead of emitting strided gather loops over a
+    (B, H, W, C) activation (the decoder's largest tensors)."""
     b, h, w, c = x.shape
-    ys = jnp.linspace(0.0, h - 1.0, new_h)
-    xs = jnp.linspace(0.0, w - 1.0, new_w)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
-    g = lambda yi, xi: x[:, yi][:, :, xi]
-    out = (
-        g(y0, x0) * (1 - wy) * (1 - wx)
-        + g(y1, x0) * wy * (1 - wx)
-        + g(y0, x1) * (1 - wy) * wx
-        + g(y1, x1) * wy * wx
-    )
-    return out
+    wy = jnp.asarray(_interp_matrix(h, new_h), x.dtype)
+    wx = jnp.asarray(_interp_matrix(w, new_w), x.dtype)
+    # fp32 inputs (CPU parity tests) must not silently drop to bf16 passes
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    out = jnp.einsum("oy,byxc->boxc", wy, x,
+                     preferred_element_type=jnp.float32, precision=prec)
+    out = jnp.einsum("ox,bgxc->bgoc", wx, out.astype(x.dtype),
+                     preferred_element_type=jnp.float32, precision=prec)
+    return out.astype(x.dtype)
 
 
 class FeatureFusion(nn.Module):

@@ -32,7 +32,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 
 class ServerStopped(RuntimeError):
@@ -97,6 +97,11 @@ class ServerConfig:
     max_batch: int = 8
     flush_ms: float = 10.0
     queue_size: int = 256
+    # Allowed compiled batch shapes. None = powers of two up to max_batch.
+    # A deployment that only ever sees full batches can list exactly those
+    # (e.g. (1, 8)) and pay that many bucket compiles — partial flushes are
+    # padded up to the next allowed bucket.
+    buckets: Optional[Tuple[int, ...]] = None
 
 
 class GenerationServer:
@@ -114,6 +119,15 @@ class GenerationServer:
         self.pipe = pipe
         self.params = params
         self.config = config or ServerConfig()
+        if self.config.buckets:
+            self._buckets = sorted(set(int(b) for b in self.config.buckets))
+            if self._buckets[0] < 1:
+                raise ValueError(f"bucket sizes must be >= 1: {self.config.buckets}")
+        else:
+            self._buckets, b = [], 1
+            while b <= self.config.max_batch:
+                self._buckets.append(b)
+                b *= 2
         self._adapter = adapter or SD15Adapter(pipe)
         self._queue: "queue.Queue" = queue.Queue(self.config.queue_size)
         self._worker: Optional[threading.Thread] = None
@@ -205,17 +219,19 @@ class GenerationServer:
         """Pre-compile the buckets a deployment will serve (first compile
         of a 512² program is minutes on a cold cache — do it before
         accepting traffic)."""
-        sizes = list(batches) or [self._bucket_size(self.config.max_batch)]
+        sizes = list(batches) or list(self._buckets)
         for b in sizes:
             self._execute([sample] * b)
 
     # ---- worker -----------------------------------------------------------
 
     def _bucket_size(self, n: int) -> int:
-        b = 1
-        while b < n and b < self.config.max_batch:
-            b *= 2
-        return b
+        """Smallest allowed bucket that holds n requests (the batch
+        collector never exceeds the largest allowed bucket)."""
+        for b in self._buckets:
+            if b >= n:
+                return b
+        return self._buckets[-1]
 
     @staticmethod
     def _batch_limit(req, max_batch: int) -> int:
@@ -250,7 +266,7 @@ class GenerationServer:
             key = next(iter(self._pending))
             dq = self._pending[key]
             self._pending.move_to_end(key)  # round-robin rotation
-            limit = self._batch_limit(dq[0][0], cfg.max_batch)
+            limit = self._batch_limit(dq[0][0], min(cfg.max_batch, self._buckets[-1]))
             deadline = time.perf_counter() + cfg.flush_ms / 1e3
             while len(dq) < limit:
                 remaining = deadline - time.perf_counter()
