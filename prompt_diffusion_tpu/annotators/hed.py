@@ -22,11 +22,31 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from prompt_diffusion_tpu.ops.resize import resize_bilinear
 from prompt_diffusion_tpu.utils.dtypes import DTypePolicy, default_policy
 
 _BGR_MEAN = (104.00698793, 116.66876762, 122.67891434)
 # conv counts per VGG stage: (2, 2, 3, 3, 3); widths (64, 128, 256, 512, 512)
 _STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+
+class _Combine(nn.Module):
+    """The reference's netCombine 1×1 conv over the 5 concatenated score
+    maps, restated as a weighted sum of the (B, H, W, 1) scores: a 5-channel
+    concat at full resolution is a layout-pathological op on TPU (lane dim
+    padded 5 → 128; 3 ms/trip in the q5 trace) while the equivalent FMA
+    chain fuses into the score upsamples. Param layout (kernel (1,1,5,1) +
+    bias) is unchanged, so checkpoint import is untouched."""
+
+    @nn.compact
+    def __call__(self, scores):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, len(scores), 1), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        out = b[0]
+        for s, sc in enumerate(scores):
+            out = out + sc[..., 0].astype(jnp.float32) * k[0, 0, s, 0]
+        return out  # (B, H, W) fp32
 
 
 class HEDNetwork(nn.Module):
@@ -35,7 +55,13 @@ class HEDNetwork(nn.Module):
     @nn.compact
     def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
         pol = self.policy
-        x = rgb[..., ::-1].astype(jnp.float32) - jnp.asarray(_BGR_MEAN, jnp.float32)
+        # The reference flips RGB→BGR then subtracts the caffe BGR mean
+        # (forward :74-76). A channel reverse of the full activation is a
+        # lane-dim shuffle on TPU (2 ms/trip, q5 trace), so the flip is
+        # folded into the first conv's input channels at import time
+        # (import_hed_checkpoint) and the mean is subtracted in RGB order —
+        # mathematically identical.
+        x = rgb.astype(jnp.float32) - jnp.asarray(_BGR_MEAN[::-1], jnp.float32)
         x = x.astype(pol.compute_dtype)
         b, h, w, _ = x.shape
 
@@ -49,12 +75,10 @@ class HEDNetwork(nn.Module):
                 x = jax.nn.relu(x)
             score = nn.Conv(1, (1, 1), dtype=pol.compute_dtype, param_dtype=jnp.float32,
                             name=f"score_{s}")(x)
-            score = jax.image.resize(score.astype(jnp.float32), (b, h, w, 1), method="bilinear")
-            scores.append(score)
+            scores.append(resize_bilinear(score.astype(jnp.float32), h, w))
 
-        fused = nn.Conv(1, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
-                        name="combine")(jnp.concatenate(scores, axis=-1))
-        return jax.nn.sigmoid(fused)[..., 0]
+        fused = _Combine(name="combine")(scores)
+        return jax.nn.sigmoid(fused)
 
 
 _TORCH_STAGE_NAMES = ("netVggOne", "netVggTwo", "netVggThr", "netVggFou", "netVggFiv")
@@ -75,8 +99,13 @@ def import_hed_checkpoint(path: str) -> dict:
         for c in range(n_convs):
             idx = base + 2 * c
             key = f"{_TORCH_STAGE_NAMES[s]}.{idx}"
+            kern = sd[f"{key}.weight"].transpose(2, 3, 1, 0)
+            if s == 0 and c == 0:
+                # the module consumes RGB directly; the reference's first
+                # conv expects BGR — reverse its input channels (exact)
+                kern = kern[:, :, ::-1, :].copy()
             p[f"vgg_{s}_conv_{c}"] = {
-                "kernel": sd[f"{key}.weight"].transpose(2, 3, 1, 0),
+                "kernel": kern,
                 "bias": sd[f"{key}.bias"],
             }
         p[f"score_{s}"] = {

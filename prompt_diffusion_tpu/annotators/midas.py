@@ -65,8 +65,7 @@ class ViTBlock(nn.Module):
         qkv = nn.Dense(3 * cfg.hidden_size, dtype=pol.compute_dtype,
                        param_dtype=jnp.float32, name="qkv")(h)
         b, n, _ = h.shape
-        q, k, v = [t.reshape(b, n, cfg.num_heads, d) for t in jnp.split(qkv, 3, axis=-1)]
-        attn = dot_product_attention(q, k, v, softmax_dtype=pol.softmax_dtype)
+        attn = _vit_attention(qkv, cfg.num_heads, pol)
         x = x + nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
                          param_dtype=jnp.float32, name="proj")(attn.reshape(b, n, -1))
         h = nn.LayerNorm(epsilon=1e-6, dtype=pol.norm_dtype, name="norm2")(x).astype(x.dtype)
@@ -76,6 +75,32 @@ class ViTBlock(nn.Module):
         h = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
                      param_dtype=jnp.float32, name="fc2")(h)
         return x + h
+
+
+def _vit_attention(qkv: jnp.ndarray, num_heads: int, pol: DTypePolicy) -> jnp.ndarray:
+    """Self-attention on a packed (B, N, 3·H·D) qkv projection.
+
+    On TPU with long sequences the packed Pallas kernel consumes the
+    projection layout directly — heads are column slices, timm's
+    (B, N, 3, H, D) packing — avoiding the four (B,N,H,D)↔(B,H,N,D)
+    layout copies per site that the BNHD path pays (~13 ms/trip across the
+    12 DPT-Hybrid blocks at batch 16, docs/evidence/q5/trace_ann.log).
+    Short sequences and CPU keep the einsum path."""
+    b, n, three_hd = qkv.shape
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - backend probe
+        backend = "cpu"
+    if backend in ("tpu", "axon") and n >= 512:
+        from prompt_diffusion_tpu.ops.flash_attention import flash_attention_packed
+
+        return flash_attention_packed(q, k, v, num_heads)
+    d = three_hd // 3 // num_heads
+    bnhd = lambda t: t.reshape(b, n, num_heads, d)
+    out = dot_product_attention(bnhd(q), bnhd(k), bnhd(v),
+                                softmax_dtype=pol.softmax_dtype)
+    return out.reshape(b, n, num_heads * d)
 
 
 class ResidualConvUnit(nn.Module):
@@ -93,38 +118,12 @@ class ResidualConvUnit(nn.Module):
         return x + h
 
 
-def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
-    """(n_out, n_in) bilinear align_corners=True interpolation matrix:
-    row i holds the (≤2) source weights for output sample i."""
-    ys = np.linspace(0.0, n_in - 1.0, n_out)
-    y0 = np.floor(ys).astype(np.int64)
-    y1 = np.minimum(y0 + 1, n_in - 1)
-    wy = ys - y0
-    m = np.zeros((n_out, n_in), np.float32)
-    m[np.arange(n_out), y0] += 1.0 - wy
-    m[np.arange(n_out), y1] += wy
-    return m
-
-
 def _resize_align_corners(x, new_h, new_w):
     """bilinear, align_corners=True (torch F.interpolate semantics used by
-    the DPT decoder).
+    the DPT decoder) — MXU matmul formulation (ops/resize.py)."""
+    from prompt_diffusion_tpu.ops.resize import resize_bilinear
 
-    Expressed as two matmuls against static interpolation matrices rather
-    than 4 gathers: the separable bilinear kernel is exactly a left/right
-    multiply by (new_h, h)/(new_w, w) 2-banded matrices, which XLA maps
-    onto the MXU instead of emitting strided gather loops over a
-    (B, H, W, C) activation (the decoder's largest tensors)."""
-    b, h, w, c = x.shape
-    wy = jnp.asarray(_interp_matrix(h, new_h), x.dtype)
-    wx = jnp.asarray(_interp_matrix(w, new_w), x.dtype)
-    # fp32 inputs (CPU parity tests) must not silently drop to bf16 passes
-    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    out = jnp.einsum("oy,byxc->boxc", wy, x,
-                     preferred_element_type=jnp.float32, precision=prec)
-    out = jnp.einsum("ox,bgxc->bgoc", wx, out.astype(x.dtype),
-                     preferred_element_type=jnp.float32, precision=prec)
-    return out.astype(x.dtype)
+    return resize_bilinear(x, new_h, new_w, align_corners=True)
 
 
 class FeatureFusion(nn.Module):
@@ -269,16 +268,37 @@ class StdConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class _GNParams(nn.Module):
+    """Bare GN affine params under the same scope name ("GroupNorm_0") the
+    previous nn.GroupNorm submodule used, so checkpoint import paths are
+    unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GNReLU(nn.Module):
-    """timm GroupNormAct(32): GN eps 1e-5 + optional ReLU."""
+    """timm GroupNormAct(32): GN eps 1e-5 + optional ReLU.
+
+    Routed through the fused Pallas GN(+ReLU) kernel on TPU (fp32 stats,
+    one VMEM-resident pass instead of XLA's fp32 convert→reduce→normalize
+    chain over the ResNetV2 stage activations); jnp fallback on CPU — the
+    same fp32-statistics semantics as torch GroupNorm either way."""
 
     act: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32)(x.astype(jnp.float32))
-        return jax.nn.relu(x) if self.act else x
+        from prompt_diffusion_tpu.ops.fused_group_norm import group_norm_auto
+
+        scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+        return group_norm_auto(x, 32, scale, bias, eps=1e-5,
+                               apply_relu=self.act)
 
 
 class Bottleneck(nn.Module):

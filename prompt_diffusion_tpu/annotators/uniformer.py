@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from prompt_diffusion_tpu.ops.attention import dot_product_attention
+from prompt_diffusion_tpu.ops.resize import resize_bilinear
 from prompt_diffusion_tpu.utils.dtypes import DTypePolicy, default_policy
 
 IMAGENET_MEAN = (123.675, 116.28, 103.53)
@@ -110,9 +111,9 @@ class SABlock(nn.Module):
         t = x.reshape(b, h * w, c)
         hn = nn.LayerNorm(epsilon=1e-6, dtype=pol.norm_dtype, name="norm1")(t).astype(t.dtype)
         qkv = nn.Dense(3 * c, dtype=pol.compute_dtype, param_dtype=jnp.float32, name="qkv")(hn)
-        d = c // self.num_heads
-        q, k, v = [a.reshape(b, h * w, self.num_heads, d) for a in jnp.split(qkv, 3, -1)]
-        attn = dot_product_attention(q, k, v, softmax_dtype=pol.softmax_dtype)
+        from prompt_diffusion_tpu.annotators.midas import _vit_attention
+
+        attn = _vit_attention(qkv, self.num_heads, pol)
         t = t + nn.Dense(c, dtype=pol.compute_dtype, param_dtype=jnp.float32,
                          name="proj")(attn.reshape(b, h * w, c))
         hn = nn.LayerNorm(epsilon=1e-6, dtype=pol.norm_dtype, name="norm2")(t).astype(t.dtype)
@@ -181,7 +182,7 @@ class UPerHead(nn.Module):
         for si, scale in enumerate(cfg.pool_scales):
             pooled = _adaptive_avg_pool(f4, scale)
             pooled = ConvModule(ch, 1, pol, name=f"psp_{si}")(pooled)
-            psp_outs.append(jax.image.resize(pooled, (b, h4, w4, ch), "bilinear"))
+            psp_outs.append(resize_bilinear(pooled, h4, w4))
         psp = ConvModule(ch, 3, pol, name="psp_bottleneck")(jnp.concatenate(psp_outs, -1))
 
         # FPN
@@ -189,14 +190,13 @@ class UPerHead(nn.Module):
             ConvModule(ch, 1, pol, name=f"lateral_{i}")(feats[i]) for i in range(3)
         ] + [psp]
         for i in range(2, -1, -1):
-            up = jax.image.resize(laterals[i + 1], laterals[i].shape, "bilinear")
+            up = resize_bilinear(laterals[i + 1], *laterals[i].shape[1:3])
             laterals[i] = laterals[i] + up
         fpn_outs = [
             ConvModule(ch, 3, pol, name=f"fpn_{i}")(laterals[i]) for i in range(3)
         ] + [laterals[3]]
         target = fpn_outs[0].shape
-        fpn_outs = [jax.image.resize(f, target[:3] + (f.shape[-1],), "bilinear")
-                    for f in fpn_outs]
+        fpn_outs = [resize_bilinear(f, target[1], target[2]) for f in fpn_outs]
         fused = ConvModule(ch, 3, pol, name="fpn_bottleneck")(jnp.concatenate(fpn_outs, -1))
         logits = nn.Conv(cfg.num_classes, (1, 1), dtype=jnp.float32,
                          param_dtype=jnp.float32, name="conv_seg")(fused)
@@ -231,8 +231,13 @@ class UniFormerSeg(nn.Module):
         feats = UniFormerBackbone(self.config, self.policy, name="backbone")(
             x.astype(self.policy.compute_dtype))
         logits = UPerHead(self.config, self.policy, name="decode_head")(feats)
-        b, _, _, k = logits.shape
-        return jax.image.resize(logits, (b,) + images.shape[1:3] + (k,), "bilinear")
+        # the 150-class logit upsample to input res is the single most
+        # expensive op in the net (26 ms/trip at batch 16 as an fp32
+        # jax.image.resize fusion, docs/evidence/q5/trace_ann.log) — run it
+        # as MXU matmuls in the compute dtype; downstream consumers argmax,
+        # for which bf16 logit rounding is immaterial
+        return resize_bilinear(logits.astype(self.policy.compute_dtype),
+                               *images.shape[1:3])
 
 
 def ade_palette() -> np.ndarray:

@@ -28,7 +28,7 @@ from prompt_diffusion_tpu.ops.norms import group_norm as _jnp_group_norm
 
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, avg_ref, o_ref, *, eps: float,
-               apply_silu: bool):
+               apply_silu: bool, apply_relu: bool = False):
     """Group stats via a (C, C) block-diagonal averaging matmul — Mosaic
     supports 2D collapses + MXU dots, not the (HW, G, C/G) reshape."""
     x = x_ref[0]  # (H, W, C)
@@ -48,6 +48,8 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, avg_ref, o_ref, *, eps: float,
     out = xf * scale + shift
     if apply_silu:
         out = out * jax.nn.sigmoid(out)
+    elif apply_relu:
+        out = jnp.maximum(out, 0.0)
     o_ref[0] = out.reshape(h, w, c).astype(o_ref.dtype)
 
 
@@ -122,10 +124,10 @@ def fused_group_norm_quant(x, scale, bias, num_groups: int, eps: float = 1e-5,
     return oq, s_a[:, 0, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-5,
-                     apply_silu: bool = False):
-    return _forward(x, scale, bias, num_groups, eps, apply_silu)
+                     apply_silu: bool = False, apply_relu: bool = False):
+    return _forward(x, scale, bias, num_groups, eps, apply_silu, apply_relu)
 
 
 import numpy as np
@@ -149,11 +151,14 @@ def _stats_kernel(x_ref, o_ref):
     o_ref[0, 0, 1] = jnp.sum(xf * xf, axis=0)
 
 
-def _apply_kernel(x_ref, sc_ref, sh_ref, o_ref, *, apply_silu: bool):
+def _apply_kernel(x_ref, sc_ref, sh_ref, o_ref, *, apply_silu: bool,
+                  apply_relu: bool = False):
     x = x_ref[0].astype(jnp.float32)  # (hb, W, C)
     out = x * sc_ref[0, 0] + sh_ref[0, 0]
     if apply_silu:
         out = out * jax.nn.sigmoid(out)
+    elif apply_relu:
+        out = jnp.maximum(out, 0.0)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -166,7 +171,8 @@ def _row_block(h, w, c, itemsize, budget=4 * 1024 * 1024):
     return hb
 
 
-def _forward_blocked(x, scale, bias, num_groups, eps, apply_silu):
+def _forward_blocked(x, scale, bias, num_groups, eps, apply_silu,
+                     apply_relu=False):
     """Two-pass row-blocked path for activations too large for one VMEM
     block (the 512²/256² VAE decoder GNs): stats stream + apply stream,
     2 reads + 1 write of the bf16 activation, no fp32 materialization and
@@ -201,7 +207,8 @@ def _forward_blocked(x, scale, bias, num_groups, eps, apply_silu):
     eff_scale = scale.astype(jnp.float32)[None, :] * inv_c
     eff_shift = bias.astype(jnp.float32)[None, :] - mean_c * eff_scale
     return pl.pallas_call(
-        functools.partial(_apply_kernel, apply_silu=apply_silu),
+        functools.partial(_apply_kernel, apply_silu=apply_silu,
+                          apply_relu=apply_relu),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, nb),
         in_specs=[
@@ -217,14 +224,16 @@ def _forward_blocked(x, scale, bias, num_groups, eps, apply_silu):
     )(x, eff_scale[:, None, :], eff_shift[:, None, :])
 
 
-def _forward(x, scale, bias, num_groups, eps, apply_silu):
+def _forward(x, scale, bias, num_groups, eps, apply_silu, apply_relu=False):
     b, h, w, c = x.shape
     if h * w * c * x.dtype.itemsize > 8 * 1024 * 1024:
-        return _forward_blocked(x, scale, bias, num_groups, eps, apply_silu)
+        return _forward_blocked(x, scale, bias, num_groups, eps, apply_silu,
+                                apply_relu)
     interpret = jax.default_backend() == "cpu"
     avg = jnp.asarray(_group_avg_matrix(c, num_groups))
     return pl.pallas_call(
-        functools.partial(_gn_kernel, eps=eps, apply_silu=apply_silu),
+        functools.partial(_gn_kernel, eps=eps, apply_silu=apply_silu,
+                          apply_relu=apply_relu),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b,),
         in_specs=[
@@ -240,14 +249,16 @@ def _forward(x, scale, bias, num_groups, eps, apply_silu):
     )(x, scale, bias, avg)
 
 
-def _fwd(x, scale, bias, num_groups, eps, apply_silu):
-    return _forward(x, scale, bias, num_groups, eps, apply_silu), (x, scale, bias)
+def _fwd(x, scale, bias, num_groups, eps, apply_silu, apply_relu):
+    return (_forward(x, scale, bias, num_groups, eps, apply_silu, apply_relu),
+            (x, scale, bias))
 
 
-def _bwd(num_groups, eps, apply_silu, res, g):
+def _bwd(num_groups, eps, apply_silu, apply_relu, res, g):
     x, scale, bias = res
     _, vjp = jax.vjp(
-        lambda x_, s_, b_: _jnp_group_norm(x_, num_groups, s_, b_, eps, apply_silu),
+        lambda x_, s_, b_: _jnp_group_norm(x_, num_groups, s_, b_, eps,
+                                           apply_silu, apply_relu),
         x, scale, bias,
     )
     return vjp(g)
@@ -257,7 +268,7 @@ fused_group_norm.defvjp(_fwd, _bwd)
 
 
 def group_norm_auto(x, num_groups, scale, bias, eps=1e-5, apply_silu=False,
-                    min_fused_elems: int = 1 << 18):
+                    apply_relu=False, min_fused_elems: int = 1 << 18):
     """Pick the Pallas kernel for large activations on TPU, jnp otherwise.
     Batch rows ≤ ~8 MB go through the single-pass VMEM-resident kernel;
     larger rows (512²/256² VAE decoder) through the row-blocked two-pass
@@ -269,5 +280,7 @@ def group_norm_auto(x, num_groups, scale, bias, eps=1e-5, apply_silu=False,
         and c % num_groups == 0
         and jax.default_backend() != "cpu"
     ):
-        return fused_group_norm(x, scale, bias, num_groups, eps, apply_silu)
-    return _jnp_group_norm(x, num_groups, scale, bias, eps=eps, apply_silu=apply_silu)
+        return fused_group_norm(x, scale, bias, num_groups, eps, apply_silu,
+                                apply_relu)
+    return _jnp_group_norm(x, num_groups, scale, bias, eps=eps,
+                           apply_silu=apply_silu, apply_relu=apply_relu)

@@ -23,6 +23,7 @@ def group_norm(
     bias: jnp.ndarray,  # (C,)
     eps: float = 1e-5,
     apply_silu: bool = False,
+    apply_relu: bool = False,
 ) -> jnp.ndarray:
     """GroupNorm over channel groups with fp32 statistics."""
     orig_dtype = x.dtype
@@ -39,4 +40,6 @@ def group_norm(
     out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if apply_silu:
         out = out * jax.nn.sigmoid(out)
+    elif apply_relu:
+        out = jnp.maximum(out, 0.0)
     return out.astype(orig_dtype)

@@ -53,6 +53,25 @@ def test_packed_kernel_odd_length_padding():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("n,heads,d", [(1025, 12, 64), (1024, 5, 64)])
+def test_packed_kernel_annotator_vit_shapes(n, heads, d):
+    """The DPT-Hybrid (N=1025 = 32² tokens + cls, H·D=768) and UniFormer
+    stage-3 (N=1024, H·D=320 — lane dim NOT a 128 multiple) self-attention
+    shapes routed through the packed kernel by `_vit_attention`
+    (annotators/midas.py)."""
+    rng = np.random.default_rng(2)
+    hd = heads * d
+    mk = lambda: jnp.asarray(rng.normal(size=(1, n, hd)) * 0.3, jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    scale = d ** -0.5
+    ref = _xla_attention(
+        q.reshape(1, n, heads, d), k.reshape(1, n, heads, d),
+        v.reshape(1, n, heads, d), scale).reshape(1, n, hd)
+    out = flash_attention_packed(q, k, v, heads, scale)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("tgt", [128, 512])
 def test_packed_kernel_block_q_target_sweepable(tgt):
     """Non-default block_q_target (the attn_sd3_probe sweep knob) must pad

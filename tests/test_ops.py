@@ -44,6 +44,15 @@ def test_fused_group_norm_matches_reference():
     g1 = jax.grad(lambda x: fused_group_norm(x, s, b, 8, 1e-5, True).sum())(x)
     g2 = jax.grad(lambda x: group_norm(x, 8, s, b, apply_silu=True).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    # ReLU epilogue (timm GroupNormAct in the DPT-Hybrid ResNetV2 stages)
+    ref = group_norm(x, 8, s, b, apply_relu=True)
+    got = fused_group_norm(x, s, b, 8, 1e-5, False, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    assert float(jnp.min(got)) >= 0.0
+    g3 = jax.grad(
+        lambda x: fused_group_norm(x, s, b, 8, 1e-5, False, True).sum())(x)
+    g4 = jax.grad(lambda x: group_norm(x, 8, s, b, apply_relu=True).sum())(x)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g4), atol=1e-5)
 
 
 def test_group_norm_auto_dispatch_cpu_uses_jnp():

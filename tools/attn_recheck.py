@@ -46,6 +46,15 @@ def main():
           lambda x: flash_attention_packed(x, x, x, H, scale), qp, args.iters)
     timed("_packed_forward bf16 (default 256)",
           lambda x: _packed_forward(x, x, x, H, scale), qp, args.iters)
+    # discriminators for the 7× q=k=v anomaly (tools/attn_vjp_hlo.py shows
+    # the lowered HLO identical modulo an 84-byte metadata delta): distinct
+    # q/k/v tensors — the shape every real model call has
+    timed("custom_vjp distinct q/k/v",
+          lambda x: flash_attention_packed(x, x * 1.01, x * 0.99, H, scale),
+          qp, args.iters)
+    timed("_packed_forward distinct q/k/v",
+          lambda x: _packed_forward(x, x * 1.01, x * 0.99, H, scale),
+          qp, args.iters)
     timed("public packed int8 (default)",
           lambda x: flash_attention_packed_int8(x, x, x, H, scale),
           qp, args.iters)
