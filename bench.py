@@ -231,6 +231,14 @@ def bench_annotate(args):
 
     b = max(args.batch, 16)
     size = args.size
+    if args.int8:
+        from prompt_diffusion_tpu.utils.dtypes import int8_policy
+
+        pol = int8_policy()
+    else:
+        from prompt_diffusion_tpu.utils.dtypes import default_policy
+
+        pol = default_policy()
     x0 = jax.random.uniform(jax.random.PRNGKey(0), (b, size, size, 3)) * 255.0
 
     def time_fn(name, run, n_inner=1):
@@ -268,7 +276,7 @@ def bench_annotate(args):
     if which in ("hed", "all"):
         from prompt_diffusion_tpu.annotators.hed import HEDNetwork
 
-        net = HEDNetwork()
+        net = HEDNetwork(policy=pol)
         hp = fast_random_params_bf16(net, jax.random.PRNGKey(1), x0[:1])
         per_img["hed"] = time_fn(
             "hed", jax.jit(lambda x: jnp.sum(net.apply(hp, x))))
@@ -279,7 +287,7 @@ def bench_annotate(args):
         from prompt_diffusion_tpu.annotators.midas import (
             DPTHybridDepth, depth_to_normals)
 
-        dpt = DPTHybridDepth()
+        dpt = DPTHybridDepth(policy=pol)
         dp = fast_random_params_bf16(dpt, jax.random.PRNGKey(2),
                                      x0[:1] / 127.5 - 1.0)
 
@@ -293,7 +301,7 @@ def bench_annotate(args):
     if which in ("uniformer", "all"):
         from prompt_diffusion_tpu.annotators.uniformer import UniFormerSeg
 
-        seg = UniFormerSeg()
+        seg = UniFormerSeg(policy=pol)
         sp = fast_random_params_bf16(seg, jax.random.PRNGKey(3), x0[:1])
         per_img["uniformer"] = time_fn(
             "uniformer-seg",
@@ -304,7 +312,8 @@ def bench_annotate(args):
         pass_s = per_img["hed"] + per_img["uniformer"] + per_img["midas"]
         emit(
             f"images/sec/chip (batched annotation pass hed+seg+depth/normal "
-            f"{size}px, batch {b}, random bf16 weights)",
+            f"{size}px, batch {b}, random bf16 weights"
+            f"{', int8 ViT mode' if args.int8 else ''})",
             1.0 / pass_s, "img/s", A100_ANNOTATE_IMGS_PER_SEC,
         )
     else:

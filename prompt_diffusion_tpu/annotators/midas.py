@@ -53,27 +53,41 @@ class DPTConfig:
     pos_grid: int = 24  # 384/16 training grid
 
 
+def _vit_dense(pol: DTypePolicy):
+    """nn.Dense or its int8 W8A8 drop-in (identical param tree) per the
+    policy — the ViT dense stack is ~95% of DPT-Hybrid's FLOPs, the
+    high-arithmetic-intensity shape where W8A8 pays (same reasoning as the
+    MMDiT blocks, models/mmdit_sd3.py)."""
+    if pol.quant == "int8":
+        from prompt_diffusion_tpu.ops.quant import QuantDense
+
+        return lambda n, name: QuantDense(n, out_dtype=pol.compute_dtype, name=name)
+    return lambda n, name: nn.Dense(n, dtype=pol.compute_dtype,
+                                    param_dtype=jnp.float32, name=name)
+
+
 class ViTBlock(nn.Module):
     cfg: DPTConfig
     policy: DTypePolicy
 
     @nn.compact
     def __call__(self, x):
+        from prompt_diffusion_tpu.models.layers import FusedLayerNorm
+
         cfg, pol = self.cfg, self.policy
-        d = cfg.hidden_size // cfg.num_heads
-        h = nn.LayerNorm(epsilon=1e-6, dtype=pol.norm_dtype, name="norm1")(x).astype(x.dtype)
-        qkv = nn.Dense(3 * cfg.hidden_size, dtype=pol.compute_dtype,
-                       param_dtype=jnp.float32, name="qkv")(h)
-        b, n, _ = h.shape
+        dense = _vit_dense(pol)
+        quant = pol.quant == "int8" and jax.default_backend() != "cpu"
+        b, n, _ = x.shape
+        # one-pass Pallas LN (fp32 stats); in int8 mode its fused epilogue
+        # hands (int8, row scale) straight to QuantDense — the MMDiT pattern
+        h = FusedLayerNorm(eps=1e-6, quant_out=quant, name="norm1")(x)
+        qkv = dense(3 * cfg.hidden_size, "qkv")(h)
         attn = _vit_attention(qkv, cfg.num_heads, pol)
-        x = x + nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
-                         param_dtype=jnp.float32, name="proj")(attn.reshape(b, n, -1))
-        h = nn.LayerNorm(epsilon=1e-6, dtype=pol.norm_dtype, name="norm2")(x).astype(x.dtype)
-        h = nn.Dense(cfg.mlp_ratio * cfg.hidden_size, dtype=pol.compute_dtype,
-                     param_dtype=jnp.float32, name="fc1")(h)
+        x = x + dense(cfg.hidden_size, "proj")(attn.reshape(b, n, -1))
+        h = FusedLayerNorm(eps=1e-6, quant_out=quant, name="norm2")(x)
+        h = dense(cfg.mlp_ratio * cfg.hidden_size, "fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
-                     param_dtype=jnp.float32, name="fc2")(h)
+        h = dense(cfg.hidden_size, "fc2")(h)
         return x + h
 
 
@@ -93,6 +107,12 @@ def _vit_attention(qkv: jnp.ndarray, num_heads: int, pol: DTypePolicy) -> jnp.nd
     except Exception:  # pragma: no cover - backend probe
         backend = "cpu"
     if backend in ("tpu", "axon") and n >= 512:
+        if pol.quant == "int8":
+            from prompt_diffusion_tpu.ops.flash_attention import (
+                flash_attention_packed_int8,
+            )
+
+            return flash_attention_packed_int8(q, k, v, num_heads)
         from prompt_diffusion_tpu.ops.flash_attention import flash_attention_packed
 
         return flash_attention_packed(q, k, v, num_heads)
@@ -101,6 +121,28 @@ def _vit_attention(qkv: jnp.ndarray, num_heads: int, pol: DTypePolicy) -> jnp.nd
     out = dot_product_attention(bnhd(q), bnhd(k), bnhd(v),
                                 softmax_dtype=pol.softmax_dtype)
     return out.reshape(b, n, num_heads * d)
+
+
+class _Readout(nn.Module):
+    """act_postprocessN.0 readout 'project': cat(tokens, cls) → Linear(2D→D)
+    (midas/vit.py ProjectReadout). Restated as sliced matmuls —
+    [t, cls]·W = t·W[:D] + cls·W[D:] exactly — so the (B, N, 2D) concat is
+    never materialized and the cls half is a rank-1 broadcast instead of a
+    full-width matmul. Param layout matches the nn.Dense it replaces."""
+
+    hidden: int
+    compute_dtype: object
+
+    @nn.compact
+    def __call__(self, tokens, cls_t):
+        d = self.hidden
+        k = self.param("kernel", nn.initializers.lecun_normal(), (2 * d, d),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        kd = k.astype(self.compute_dtype)
+        t = tokens.astype(self.compute_dtype)
+        c = cls_t.astype(self.compute_dtype)
+        return t @ kd[:d] + (c @ kd[d:] + b.astype(self.compute_dtype))
 
 
 class ResidualConvUnit(nn.Module):
@@ -183,9 +225,8 @@ class DPTDepth(nn.Module):
         pyramid = []
         for s, tap in enumerate(taps):
             tokens, cls_t = tap[:, 1:], tap[:, :1]
-            t = jnp.concatenate([tokens, jnp.broadcast_to(cls_t, tokens.shape)], axis=-1)
-            t = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype, param_dtype=jnp.float32,
-                         name=f"readout_{s}")(t)
+            t = _Readout(cfg.hidden_size, pol.compute_dtype,
+                         name=f"readout_{s}")(tokens, cls_t)
             t = jax.nn.gelu(t, approximate=False)
             t = t.reshape(b, gh, gw, cfg.hidden_size)
             t = nn.Conv(cfg.reassemble_dims[s], (1, 1), dtype=pol.compute_dtype,
@@ -391,9 +432,8 @@ class DPTHybridDepth(nn.Module):
         pyramid = list(taps_rn)  # levels 1-2: raw ResNet features
         for s, tap in enumerate(taps_vit):
             tokens, cls_t = tap[:, 1:], tap[:, :1]
-            r = jnp.concatenate([tokens, jnp.broadcast_to(cls_t, tokens.shape)], axis=-1)
-            r = nn.Dense(cfg.hidden_size, dtype=pol.compute_dtype,
-                         param_dtype=jnp.float32, name=f"readout_{s + 2}")(r)
+            r = _Readout(cfg.hidden_size, pol.compute_dtype,
+                         name=f"readout_{s + 2}")(tokens, cls_t)
             r = jax.nn.gelu(r, approximate=False)
             r = r.reshape(b, gh, gw, cfg.hidden_size)
             r = nn.Conv(cfg.reassemble_dims[s + 2], (1, 1), dtype=pol.compute_dtype,

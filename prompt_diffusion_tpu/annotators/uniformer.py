@@ -109,17 +109,19 @@ class SABlock(nn.Module):
         x = x + _dwconv(x, self.dim, 3, "pos_embed", pol)
         b, h, w, c = x.shape
         t = x.reshape(b, h * w, c)
-        hn = nn.LayerNorm(epsilon=1e-6, dtype=pol.norm_dtype, name="norm1")(t).astype(t.dtype)
-        qkv = nn.Dense(3 * c, dtype=pol.compute_dtype, param_dtype=jnp.float32, name="qkv")(hn)
-        from prompt_diffusion_tpu.annotators.midas import _vit_attention
+        from prompt_diffusion_tpu.annotators.midas import _vit_attention, _vit_dense
+        from prompt_diffusion_tpu.models.layers import FusedLayerNorm
 
+        dense = _vit_dense(pol)
+        quant = pol.quant == "int8" and jax.default_backend() != "cpu"
+        hn = FusedLayerNorm(eps=1e-6, quant_out=quant, name="norm1")(t)
+        qkv = dense(3 * c, "qkv")(hn)
         attn = _vit_attention(qkv, self.num_heads, pol)
-        t = t + nn.Dense(c, dtype=pol.compute_dtype, param_dtype=jnp.float32,
-                         name="proj")(attn.reshape(b, h * w, c))
-        hn = nn.LayerNorm(epsilon=1e-6, dtype=pol.norm_dtype, name="norm2")(t).astype(t.dtype)
-        hn = nn.Dense(4 * c, dtype=pol.compute_dtype, param_dtype=jnp.float32, name="mlp_fc1")(hn)
+        t = t + dense(c, "proj")(attn.reshape(b, h * w, c))
+        hn = FusedLayerNorm(eps=1e-6, quant_out=quant, name="norm2")(t)
+        hn = dense(4 * c, "mlp_fc1")(hn)
         hn = jax.nn.gelu(hn, approximate=False)
-        hn = nn.Dense(c, dtype=pol.compute_dtype, param_dtype=jnp.float32, name="mlp_fc2")(hn)
+        hn = dense(c, "mlp_fc2")(hn)
         t = t + hn
         return t.reshape(b, h, w, c)
 

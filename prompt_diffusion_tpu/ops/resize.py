@@ -63,9 +63,16 @@ def resize_bilinear(x: jnp.ndarray, new_h: int, new_w: int,
         return x
     wy = jnp.asarray(bilinear_matrix(h, new_h, align_corners), x.dtype)
     wx = jnp.asarray(bilinear_matrix(w, new_w, align_corners), x.dtype)
-    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    out = jnp.einsum("oy,byxc->boxc", wy, x,
-                     preferred_element_type=jnp.float32, precision=prec)
-    out = jnp.einsum("ox,bgxc->bgoc", wx, out.astype(x.dtype),
-                     preferred_element_type=jnp.float32, precision=prec)
+    if x.dtype == jnp.float32:
+        # fp32 parity path: forbid the silent bf16-pass default
+        kw = dict(preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    else:
+        # bf16: the MXU accumulates fp32 internally regardless; forcing an
+        # fp32 OUTPUT doubles the materialized intermediate (the 512²×150
+        # logit upsample writes 2.5 GB fp32 instead of 1.26 GB bf16 — the
+        # dominant fusion in the first uniformer trace)
+        kw = {}
+    out = jnp.einsum("oy,byxc->boxc", wy, x, **kw)
+    out = jnp.einsum("ox,bgxc->bgoc", wx, out.astype(x.dtype), **kw)
     return out.astype(x.dtype)

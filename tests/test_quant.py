@@ -298,3 +298,32 @@ def test_sd3_int8_pipeline_smoke_close_to_fp32():
     assert np.isfinite(a8).all() and a8.min() >= 0.0 and a8.max() <= 1.0
     rel = np.abs(a8 - a32).mean() / (np.abs(a32 - a32.mean()).mean() + 1e-6)
     assert rel < 0.35, rel  # int8 is a serving mode of the SAME model
+
+
+def test_int8_vit_annotators_close_and_tree_identical():
+    """Round-5 int8 ViT mode for the annotators: DPT-Hybrid / UniFormer
+    SABlock dense stacks swap to QuantDense under int8_policy with an
+    IDENTICAL param tree (checkpoints load into either mode), and the
+    tiny-net outputs stay within a few percent of bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from prompt_diffusion_tpu.annotators.midas import DPTHybridConfig, DPTHybridDepth
+    from prompt_diffusion_tpu.utils.dtypes import default_policy, int8_policy
+
+    cfg = DPTHybridConfig(hidden_size=64, num_layers=2, num_heads=4,
+                          hooks=(0, 1), resnet_layers=(1, 1, 1),
+                          reassemble_dims=(32, 64, 64, 64), features=32,
+                          pos_grid=4)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, 64, 64, 3)), jnp.float32)
+    net_bf16 = DPTHybridDepth(config=cfg, policy=default_policy())
+    net_int8 = DPTHybridDepth(config=cfg, policy=int8_policy())
+    p = net_bf16.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(
+        net_int8.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(p)
+    ref = net_bf16.apply(p, x)
+    got = net_int8.apply(p, x)
+    assert np.isfinite(np.asarray(got)).all()
+    assert _rel_err(got, ref) < 0.08

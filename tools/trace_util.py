@@ -40,6 +40,11 @@ def bucket(events, trips=1, top=40):
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "")
+        # container ops (the jit program row and while loops) span their
+        # children, which are traced individually — counting both would
+        # double every child and overstate measured-vs-floor by ~3×
+        if re.match(r"jit_\w+\(|while[.\d]*$", name):
+            continue
         dur = e.get("dur", 0) / 1e3  # ms
         total += dur
         per_op[name] += dur
