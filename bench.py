@@ -261,6 +261,9 @@ def bench_annotate(args):
 
     per_img = {}
     which = args.annotator
+    # "pass" = the reference annotation pass only (hed+seg+depth/normal),
+    # skipping canny — informational-only for the composite, and its scan
+    # program has been the repeat remote-compile-stall offender
     if which in ("canny", "all"):
         from prompt_diffusion_tpu.annotators.canny import canny
 
@@ -273,14 +276,14 @@ def bench_annotate(args):
             return jax.lax.scan(body, 0.0, jnp.arange(n))[0]
 
         per_img["canny"] = time_fn("canny", jax.jit(run_canny), n_inner=n)
-    if which in ("hed", "all"):
+    if which in ("hed", "all", "pass"):
         from prompt_diffusion_tpu.annotators.hed import HEDNetwork
 
         net = HEDNetwork(policy=pol)
         hp = fast_random_params_bf16(net, jax.random.PRNGKey(1), x0[:1])
         per_img["hed"] = time_fn(
             "hed", jax.jit(lambda x: jnp.sum(net.apply(hp, x))))
-    if which in ("midas", "all"):
+    if which in ("midas", "all", "pass"):
         # DPT-Hybrid — the reference's ecosystem-default MiDaS variant
         # (annotator/midas/api.py:30-46); one forward yields depth AND
         # normal, exactly the reference pass's _depth.jpg + _normal.jpg
@@ -298,7 +301,7 @@ def bench_annotate(args):
 
         per_img["midas"] = time_fn("midas-hybrid(depth+normal)",
                                    jax.jit(run_midas))
-    if which in ("uniformer", "all"):
+    if which in ("uniformer", "all", "pass"):
         from prompt_diffusion_tpu.annotators.uniformer import UniFormerSeg
 
         seg = UniFormerSeg(policy=pol)
@@ -307,7 +310,7 @@ def bench_annotate(args):
             "uniformer-seg",
             jax.jit(lambda x: jnp.sum(jnp.argmax(seg.apply(sp, x), -1))))
 
-    if which == "all":
+    if which in ("all", "pass"):
         # the reference pass runs hed + seg + depth/normal on every image
         pass_s = per_img["hed"] + per_img["uniformer"] + per_img["midas"]
         emit(
@@ -399,7 +402,8 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--annotator", default="canny",
-                    choices=["canny", "hed", "midas", "uniformer", "all"],
+                    choices=["canny", "hed", "midas", "uniformer", "all",
+                             "pass"],
                     help="annotate config: which net to bench (BASELINE 3; "
                          "'all' also emits the reference-pass "
                          "hed+seg+depth/normal number)")

@@ -54,10 +54,20 @@ def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
 
 
 def _row_block(n, c, itemsize, budget=2 * 1024 * 1024):
+    """Largest row block dividing n within the VMEM budget. Mosaic requires
+    the block's row count be a multiple of 8 OR the whole array, so when
+    n % 8 == 0 step in 8s (a divisor of n that is merely odd — e.g. 1025
+    rows of a 16·1025-token ViT batch — would be rejected); odd n falls
+    back to the whole-array block (callers gate sizes via *_auto)."""
     rb = max(1, min(n, budget // (c * itemsize)))
+    if n % 8 == 0:
+        rb = max(8, rb // 8 * 8)
+        while n % rb or rb % 8:
+            rb -= 8
+        return max(rb, 8)
     while n % rb:
         rb -= 1
-    return rb
+    return rb if rb == n or rb % 8 == 0 else n
 
 
 def row_block8(n, c, itemsize, budget=2 * 1024 * 1024):
@@ -187,6 +197,10 @@ def layer_norm_auto(x, scale, bias, eps=1e-5, min_fused_elems: int = 1 << 16):
     total = 1
     for d in x.shape:
         total *= d
-    if total >= min_fused_elems and c >= 128 and jax.default_backend() != "cpu":
+    n = total // c
+    row_bytes = c * x.dtype.itemsize
+    fits = (n % 8 == 0) or (n * row_bytes <= 32 * 1024 * 1024)
+    if (total >= min_fused_elems and c >= 128 and fits
+            and jax.default_backend() != "cpu"):
         return fused_layer_norm(x, scale, bias, eps)
     return _jnp_layer_norm(x, scale, bias, eps)

@@ -107,3 +107,17 @@ def test_fused_layer_norm_matches_reference():
     g1 = jax.grad(lambda x: fused_layer_norm(x, s, b, 1e-5).sum())(x)
     g2 = jax.grad(lambda x: _jnp_layer_norm(x, s, b, 1e-5).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_ln_row_block_mosaic_constraint():
+    """Mosaic rejects row blocks that are neither multiples of 8 nor the
+    whole array (hit in the wild: 16·1025 ViT tokens picked a 1025-row
+    divisor — bench annotate crashed at lowering). _row_block must always
+    return a legal block."""
+    from prompt_diffusion_tpu.ops.fused_layer_norm import _row_block
+
+    for n, c in [(16400, 768), (16 * 1024, 320), (82, 256), (1025, 768),
+                 (7, 128), (8, 128), (4096, 1536), (30, 512)]:
+        rb = _row_block(n, c, 2)
+        assert n % rb == 0, (n, c, rb)
+        assert rb == n or rb % 8 == 0, (n, c, rb)
